@@ -1,0 +1,90 @@
+package graft.pipe
+
+import graft.kernel.Extractor
+import graft.model.{ExtractConfig, ExtractedTurn, Turn}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** The flagship extraction job (SURVEY §3.1 "Spark shape"):
+  *
+  * scan → cheap gates (BEFORE the kernel — Catalyst cannot reorder filters
+  * through an opaque mapPartitions, so we author them first, the same
+  * cheap-predicate-first discipline as the reference's blur gate
+  * `/root/reference/src/cmnd/main.py:57-60`) → salted repartition (skew) →
+  * mapPartitions kernel (per-partition batched, broadcast config, lazy
+  * per-executor init ≈ per-daemon model load `template.py:73`) → stable
+  * (conv_id, turn_idx) order restore → sink.
+  *
+  * Exactly two exchanges: the salted fan-out and the order-restoring
+  * repartition — matching the physical plan target in SURVEY §4.
+  */
+object ExtractPipeline {
+
+  final case class Metrics(
+      turnsIn: LongAccumulator,
+      turnsOut: LongAccumulator,
+      blocksKept: LongAccumulator,
+      blocksDropped: LongAccumulator,
+      charsEmitted: LongAccumulator
+  )
+
+  def newMetrics(spark: SparkSession): Metrics = Metrics(
+    spark.sparkContext.longAccumulator("graft.turnsIn"),
+    spark.sparkContext.longAccumulator("graft.turnsOut"),
+    spark.sparkContext.longAccumulator("graft.blocksKept"),
+    spark.sparkContext.longAccumulator("graft.blocksDropped"),
+    spark.sparkContext.longAccumulator("graft.charsEmitted")
+  )
+
+  /** Gates → salt → kernel. Output is UNORDERED (post-shuffle); callers that
+    * need the stable order apply [[orderRestore]] (kept separate so the
+    * snapshot writer can instead sort within bucket files). */
+  def extract(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      cfg: ExtractConfig = ExtractConfig.default,
+      metrics: Option[Metrics] = None
+  ): Dataset[ExtractedTurn] = {
+    import spark.implicits._
+    val bcCfg = spark.sparkContext.broadcast(cfg)
+    val m = metrics
+
+    val gated = turns.filter(
+      col("text").isNotNull && col("conv_id").isNotNull &&
+        length(col("text")) > 0 && length(col("text")) <= cfg.maxTextLen
+    )
+    val salted = Salting.salted(gated, cfg.saltBuckets)
+    salted.mapPartitions { it =>
+      val c = bcCfg.value // one broadcast fetch per task, not per row
+      it.map { t =>
+        val out = Extractor.extractTurn(t, c)
+        m.foreach { acc =>
+          acc.turnsIn.add(1); acc.turnsOut.add(1)
+          acc.blocksKept.add(out.blocksKept)
+          acc.blocksDropped.add(out.blocksDropped)
+          acc.charsEmitted.add(out.charsEmitted)
+        }
+        out
+      }
+    }
+  }
+
+  /** Restore the north-rule stable ordering: each output partition holds
+    * whole conversations, sorted by (conv_id, turn_idx) — a shuffle on
+    * conv_id alone + local sort, NOT a global orderBy (no driver-side range
+    * sampling job, and downstream per-conversation consumers keep locality).
+    */
+  def orderRestore(ds: Dataset[ExtractedTurn]): Dataset[ExtractedTurn] =
+    ds.repartition(col("conv_id"))
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+
+  /** End-to-end: gates → salt → kernel → order restore. */
+  def run(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      cfg: ExtractConfig = ExtractConfig.default,
+      metrics: Option[Metrics] = None
+  ): Dataset[ExtractedTurn] =
+    orderRestore(extract(spark, turns, cfg, metrics))
+}

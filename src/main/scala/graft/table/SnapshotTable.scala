@@ -1,0 +1,137 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.ExtractedTurn
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-STYLE snapshot table over plain Parquet (no Iceberg jar in this
+  * sandbox — SURVEY §7.0; semantics implemented, format honest about being
+  * our own):
+  *
+  *  - Data layout: `dir/data/run=<runId>/bucket=<b>/…parquet`, bucketed by
+  *    `pmod(xxhash64(conv_id), numBuckets)` (the conv_id-bucketed layout of
+  *    the north rule; bucket pruning = partition pruning on the bucket dir).
+  *  - Snapshots: `dir/manifests/snap-<id>.json` — JSON Lines, one line per
+  *    committed bucket with lineage (runId, parentId) and per-partition
+  *    extraction metrics (turns, blocksKept, blocksDropped, charsEmitted,
+  *    minTs, maxTs). Each snapshot lists the FULL committed set (Iceberg
+  *    manifest-list style), so a reader needs exactly one file.
+  *  - `dir/CURRENT` names the live snapshot; updated by atomic rename.
+  *    Data written by a crashed run is invisible (unreferenced) — readers and
+  *    resumers only trust the manifest, which is what makes resume
+  *    exactly-once (SURVEY §7.4 #3: data first, manifest second, CURRENT
+  *    last).
+  *  - Resume: a restarted run asks [[committedBuckets]] and processes only
+  *    the complement (anti-join of input buckets vs committed — SURVEY §2.10).
+  *
+  * Reference precedent for at-least-once + idempotent naming: unique upload
+  * names `/root/reference/src/controller/webapp.py:19-22`; batch-id matched
+  * scatter/gather `src/extras/weinman/interface/linepredictor.py:32-51`.
+  */
+final class SnapshotTable(val dir: String, val numBuckets: Int) {
+
+  private def manifestsDir: Path = Paths.get(dir, "manifests")
+  private def currentFile: Path = Paths.get(dir, "CURRENT")
+
+  def bucketOf = pmod(xxhash64(col("conv_id")), lit(numBuckets.toLong)).cast("int")
+
+  final case class BucketEntry(
+      bucket: Int, path: String, runId: String,
+      turns: Long, blocksKept: Long, blocksDropped: Long, charsEmitted: Long,
+      minTs: String, maxTs: String)
+
+  def currentSnapshotId: Option[Long] =
+    if (Files.exists(currentFile))
+      Some(Files.readString(currentFile).trim.toLong)
+    else None
+
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+
+  private def entryJson(snapId: Long, parentId: Long, e: BucketEntry): String =
+    s"""{"snapshotId":$snapId,"parentId":$parentId,"bucket":${e.bucket},""" +
+      s""""path":"${esc(e.path)}","runId":"${esc(e.runId)}","turns":${e.turns},""" +
+      s""""blocksKept":${e.blocksKept},"blocksDropped":${e.blocksDropped},""" +
+      s""""charsEmitted":${e.charsEmitted},"minTs":"${esc(e.minTs)}","maxTs":"${esc(e.maxTs)}"}"""
+
+  /** All bucket entries of the live snapshot (empty if none). Parsed with
+    * Spark's JSON reader — the manifest is data. */
+  def committedEntries(spark: SparkSession): Seq[BucketEntry] =
+    currentSnapshotId match {
+      case None => Seq.empty
+      case Some(id) =>
+        val f = manifestsDir.resolve(s"snap-$id.json")
+        import spark.implicits._
+        spark.read.json(f.toString)
+          .select("bucket", "path", "runId", "turns", "blocksKept",
+            "blocksDropped", "charsEmitted", "minTs", "maxTs")
+          .as[(Long, String, String, Long, Long, Long, Long, String, String)]
+          .collect().toSeq
+          .map(t => BucketEntry(t._1.toInt, t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9))
+    }
+
+  def committedBuckets(spark: SparkSession): Set[Int] =
+    committedEntries(spark).map(_.bucket).toSet
+
+  /** Write `extracted` (all buckets it contains) as a new run's data files
+    * and commit a new snapshot = previous entries ∪ new entries.
+    * Data is sorted by (conv_id, turn_idx) within each bucket file — the
+    * stable-order invariant is materialized, not just asserted.
+    * @return the new snapshot id. */
+  def commit(spark: SparkSession, extracted: Dataset[ExtractedTurn], runId: String): Long = {
+    import spark.implicits._
+    val dataPath = s"$dir/data/run=$runId"
+
+    val withBucket = extracted.withColumn("bucket", bucketOf)
+    // 1. DATA FIRST: bucketed, order-restored within files.
+    withBucket
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("conv_id"), col("turn_idx"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dataPath)
+
+    // 2. Per-bucket metrics (small: ≤ numBuckets rows) for the manifest.
+    val written = spark.read.parquet(dataPath)
+    val stats = written.groupBy(col("bucket")).agg(
+      count(lit(1)).as("turns"),
+      sum("blocksKept").as("bk"), sum("blocksDropped").as("bd"),
+      sum("charsEmitted").as("ce"),
+      date_format(min("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("minTs"),
+      date_format(max("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("maxTs")
+    ).collect()
+
+    val newEntries = stats.map { r =>
+      val b = r.getInt(0)
+      BucketEntry(b, s"$dataPath/bucket=$b", runId,
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(5), r.getString(6))
+    }
+
+    // 3. MANIFEST SECOND: full committed set = parent's ∪ new.
+    val parent = currentSnapshotId.getOrElse(-1L)
+    val prev = committedEntries(spark).filterNot(e => newEntries.exists(_.bucket == e.bucket))
+    val snapId = parent + 1
+    Files.createDirectories(manifestsDir)
+    val lines = (prev ++ newEntries).sortBy(_.bucket).map(entryJson(snapId, parent, _))
+    val tmpM = manifestsDir.resolve(s"snap-$snapId.json.tmp")
+    Files.writeString(tmpM, lines.mkString("\n"))
+    Files.move(tmpM, manifestsDir.resolve(s"snap-$snapId.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+
+    // 4. CURRENT LAST (atomic pointer swing — the commit point).
+    val tmpC = Paths.get(dir, "CURRENT.tmp")
+    Files.writeString(tmpC, snapId.toString)
+    Files.move(tmpC, currentFile,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    snapId
+  }
+
+  /** Read the live snapshot (only manifest-listed paths — orphan data from
+    * crashed runs is invisible). */
+  def read(spark: SparkSession): DataFrame = {
+    val entries = committedEntries(spark)
+    require(entries.nonEmpty, s"no committed snapshot in $dir")
+    spark.read.parquet(entries.map(_.path): _*)
+  }
+}
