@@ -351,4 +351,16 @@ object TranscriptGen {
 
   def totalTurns(nConvs: Int, hotBase: Int): Long =
     (0 until nConvs).map(turnCount(_, hotBase).toLong).sum
+
+  /** DISTRIBUTED corpus: each task generates its conversation slice
+    * independently (turns are pure functions of (seed, conv, idx)), so the
+    * same corpus materializes identically at any parallelism — the property
+    * the salt-invariance and scaling benches rely on. */
+  def dataset(spark: org.apache.spark.sql.SparkSession, seed: Long, nConvs: Int,
+      hotBase: Int, partitions: Int = 0): org.apache.spark.sql.Dataset[Turn] = {
+    import spark.implicits._
+    val base = if (partitions > 0) spark.range(0, nConvs, 1, partitions)
+               else spark.range(0, nConvs)
+    base.flatMap(i => conv(seed, i.toInt, hotBase).map(_.turn))
+  }
 }

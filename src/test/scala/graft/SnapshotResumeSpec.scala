@@ -1,0 +1,84 @@
+package graft
+
+import graft.gen.TranscriptGen
+import graft.pipe.{ExtractJob, ExtractPipeline}
+import graft.table.SnapshotTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Checkpoint/resume suite (SURVEY §5.2, FIXTURES.md §5): a run killed after
+  * a partial commit must resume processing exactly the uncommitted buckets
+  * and converge to byte-identical output — exactly-once despite orphan data
+  * files from the crash.
+  */
+class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
+
+  private val seed = 42L
+  private val nConvs = 60
+  private val hotBase = 120
+
+  test("kill-resume: partial commit + orphan files → exactly-once final output") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snap").toString
+    val table = new SnapshotTable(dir, numBuckets = 8)
+    val turns = TranscriptGen.dataset(spark, seed, nConvs, hotBase, partitions = 4)
+
+    // Run A: "crashes" after committing only buckets {0,1,2} …
+    val partialInput = turns
+      .withColumn("bucket", table.bucketOf)
+      .where(col("bucket") < 3).drop("bucket").as[graft.model.Turn]
+    val snapA = ExtractJob.runIncremental(spark, table, partialInput, runId = "runA")
+    assert(snapA.contains(0L))
+    // … and leaves ORPHAN data from an uncommitted attempt at bucket 5.
+    val orphanDir = s"$dir/data/run=crashed/bucket=5"
+    ExtractPipeline.extract(spark, partialInput.limit(5))
+      .write.parquet(orphanDir)
+
+    val committedAfterA = table.committedBuckets(spark)
+    assert(committedAfterA == Set(0, 1, 2), committedAfterA.toString)
+
+    // Run B: resume over the FULL input — must process only buckets 3..7.
+    val snapB = ExtractJob.runIncremental(spark, table, turns, runId = "runB")
+    assert(snapB.contains(1L))
+    assert(table.committedBuckets(spark) == (0 until 8).toSet)
+
+    // Run C: nothing pending → no new snapshot.
+    assert(ExtractJob.runIncremental(spark, table, turns, runId = "runC").isEmpty)
+
+    // Final table == single-shot run, exactly once (orphan invisible).
+    val fromTable = table.read(spark)
+      .select("conv_id", "turn_idx", "text", "blocksKept", "blocksDropped", "charsEmitted")
+      .as[(String, Int, String, Int, Int, Int)].collect().sorted
+    val oneShot = ExtractPipeline.run(spark, turns)
+      .select("conv_id", "turn_idx", "text", "blocksKept", "blocksDropped", "charsEmitted")
+      .as[(String, Int, String, Int, Int, Int)].collect().sorted
+    assert(fromTable.length == TranscriptGen.totalTurns(nConvs, hotBase))
+    assert(fromTable.sameElements(oneShot))
+  }
+
+  test("manifest carries lineage and per-bucket extraction metrics") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snap").toString
+    val table = new SnapshotTable(dir, numBuckets = 4)
+    val turns = TranscriptGen.dataset(spark, seed, 30, 60, partitions = 2)
+    ExtractJob.runIncremental(spark, table, turns, runId = "run1")
+
+    val entries = table.committedEntries(spark)
+    assert(entries.map(_.bucket).sorted == (0 until 4))
+    assert(entries.forall(_.runId == "run1"))
+    assert(entries.map(_.turns).sum == TranscriptGen.totalTurns(30, 60))
+    // metrics in the manifest match a direct aggregation of the data
+    val direct = table.read(spark).agg(
+      sum("blocksKept"), sum("blocksDropped"), sum("charsEmitted")
+    ).as[(Long, Long, Long)].first()
+    assert((entries.map(_.blocksKept).sum,
+      entries.map(_.blocksDropped).sum,
+      entries.map(_.charsEmitted).sum) == direct)
+    // data files are sorted by (conv_id, turn_idx) within each bucket
+    val e0 = entries.head
+    val rows = spark.read.parquet(e0.path)
+      .select("conv_id", "turn_idx").as[(String, Int)].collect().toVector
+    assert(rows == rows.sortBy(identity))
+  }
+}
