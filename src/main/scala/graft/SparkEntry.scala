@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.{TextFingerprint, TextFunctions => TF}
+import graft.functions.{TextFingerprint, TextFunctions => TF, VectorFunctions => VF}
 import graft.gen.TranscriptGen
 import graft.pipe.ExtractPipeline
 
@@ -35,11 +35,18 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // shared pieces
 
-  /** Sequential-fold dot product / cosine — bit-identical twin of the
-    * oracle's list_reduce fold. */
-  private def simCol(a: Column, b: Column): Column = TF.cosineSim(a, b)
-
   private val minhashK = 16
+
+  /** Signature matrix: doc_id, h0..h15 (min of a universal hash of the
+    * shingle fingerprint per hash function). */
+  private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    TextFingerprint.register(s)
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("shingle"))
+      .withColumn("fp", call_function("text_fingerprint", col("shingle")))
+    val aggs = (0 until minhashK).map(k => min(TF.universalHash(col("fp"), k)).as(s"h$k"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -151,24 +158,54 @@ object SparkEntry {
     }),
 
     "q_dedup_jaccard" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
+      // Inverted-index plan (the 100-TB shape): explode shingles → equi-join
+      // on (shingle, lang, source) → per-pair shared-shingle count → Jaccard.
+      // No quadratic array_intersect; only docs actually sharing a shingle
+      // ever meet, and the join is shuffle-hash on the shingle key.
+      val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), TF.shingles(col("text"), 3).as("sh"))
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+      val sh = docs.select(col("doc_id"), col("lang"), col("source"),
+        explode(col("sh")).as("shingle"))
       val a = sh.as("a"); val b = sh.as("b")
-      val inter = size(array_intersect(col("a.sh"), col("b.sh")))
-      val jac = inter.cast("double") / (size(col("a.sh")) + size(col("b.sh")) - inter)
-      a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
-          && col("a.doc_id") < col("b.doc_id"))
-        .withColumn("jac", jac).filter(col("jac") >= 0.02)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), round(col("jac"), 4).as("jac"))
+      val inter = a.join(b,
+          col("a.shingle") === col("b.shingle") && col("a.lang") === col("b.lang")
+            && col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+        .withColumn("jac", col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
+        .filter(col("jac") >= 0.02)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
     }),
 
-    "q_minhash_sig" -> ((s, dir) => {
-      TextFingerprint.register(s)
-      val sh = t(s, dir, "documents")
-        .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("shingle"))
-        .withColumn("fp", call_function("text_fingerprint", col("shingle")))
-      val aggs = (0 until minhashK).map(k => min(TF.universalHash(col("fp"), k)).as(s"h$k"))
-      sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    "q_minhash_sig" -> ((s, dir) => minhashSignatures(s, dir)),
+
+    "q_dedup_minhash_pairs" -> ((s, dir) => {
+      // LSH banding over the 16-hash signature (4 bands × 4 rows): docs
+      // sharing any band bucket become candidates (equi-join on the band
+      // key — the scale path: no quadratic pair enumeration), then exact
+      // shingle-Jaccard verification on the candidates only.
+      val sig = minhashSignatures(s, dir)
+      val bandStructs = array((0 until 4).map { j =>
+        struct(lit(j).as("band"),
+          concat_ws("_", (0 until 4).map(r => col(s"h${4 * j + r}")): _*).as("key"))
+      }: _*)
+      val bands = sig.select(col("doc_id"), explode(bandStructs).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cands = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+      val sh = t(s, dir, "documents").select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
+      val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
+      cands
+        .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("id_b") === col("sb.doc_id"))
+        .withColumn("jac", inter.cast("double") / (size(col("sa.sh")) + size(col("sb.sh")) - inter))
+        .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
     }),
 
     "q_simhash" -> ((s, dir) => {
@@ -185,10 +222,16 @@ object SparkEntry {
     }),
 
     "q_dedup_embed_cosine" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // norms precomputed once per vector; dot via the native codegen'd
+      // dot_f expression (O(n) norm folds + O(n²) dots, no HOFs in the
+      // quadratic stage — the 100-TB-shaped plan)
+      VF.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), VF.l2NormF(col("embedding")).as("nrm"))
       val a = e.as("a"); val b = e.as("b")
       a.join(b, col("a.vec_id") < col("b.vec_id"))
-        .withColumn("sim", simCol(col("a.embedding"), col("b.embedding")))
+        .withColumn("sim",
+          VF.dotF(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
         .filter(col("sim") >= 0.4)
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
           round(col("sim"), 6).as("sim"))
@@ -196,13 +239,49 @@ object SparkEntry {
 
     // -------------------------------------------------- similarity search
     "q_knn_cosine" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      VF.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), VF.l2NormF(col("embedding")).as("nrm"))
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
       val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
       e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("query_id"))
-        .withColumn("sim", simCol(col("embedding"), col("qv")))
+        .withColumn("sim", VF.dotF(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+    }),
+
+    "q_knn_ivf" -> ((s, dir) => {
+      // IVF-style ANN (the scale path): a small deterministic coarse
+      // quantizer (centroids = vec_id < 16), vectors assigned to their
+      // nearest centroid (inverted lists), queries probe their 2 nearest
+      // centroids and search ONLY those lists — equi-join on centroid id,
+      // no full cross join. Approximate by construction; exactness is
+      // q_knn_cosine's job.
+      VF.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), VF.l2NormF(col("embedding")).as("nrm"))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"), col("nrm").as("cnrm"))
+      def simTo(v: Column, n: Column): Column = VF.dotF(v, col("cv")) / (n * col("cnrm"))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
+      val assign = e.crossJoin(broadcast(cents))
+        .withColumn("csim", simTo(col("embedding"), col("nrm")))
+        .withColumn("crk", row_number().over(wAssign)).filter(col("crk") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+      val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+      val wProbe = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cent_id"))
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("csim", simTo(col("qv"), col("qnrm")))
+        .withColumn("crk", row_number().over(wProbe)).filter(col("crk") <= 2)
+        .select(col("query_id"), col("qv"), col("qnrm"), col("cent_id"))
+      val wTop = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+      probes.join(assign, "cent_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("sim", VF.dotF(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
+        .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 5)
         .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
           round(col("sim"), 6).as("sim"))
     }),
@@ -230,6 +309,26 @@ object SparkEntry {
       ExtractPipeline.run(s, TranscriptGen.dataset(s, 42L, nConvs = 80, hotBase = 200))
         .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
           col("text"), col("blocksKept"), col("blocksDropped"), col("charsEmitted"))
+    }),
+
+    "x_media_features" -> ((s, dir) => {
+      // multimodal plumbing demo: binary payload column + typed metadata →
+      // mapPartitions batch "decode" (deterministic stub codec)
+      val media = graft.multimodal.MediaPipeline.synthesize(s, t(s, dir, "documents"))
+      graft.multimodal.MediaPipeline.extractFeatures(s, media)
+        .toDF().withColumn("meanLuma", round(col("meanLuma"), 4))
+        .withColumn("rmsLevel", round(col("rmsLevel"), 4))
+    }),
+
+    "x_lang_id" -> ((s, dir) => {
+      // classifier-argmax demo over a broadcast profile table (J1 shape);
+      // a UDF is acceptable here: the kernel is the operator being demoed,
+      // not a hot-path scalar (the hot paths use native expressions)
+      val detect = udf((text: String) => graft.kernel.LangId.detect(text))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("labeled_lang"), detect(col("text")).as("d"))
+        .select(col("doc_id"), col("labeled_lang"),
+          col("d._1").as("pred_lang"), col("d._2").as("pred_score"))
     }),
 
     "x_extract_spans" -> ((s, _) => {
@@ -343,6 +442,29 @@ object SparkEntry {
           SELECT doc_id, $mins FROM f GROUP BY doc_id"""
     },
 
+    "q_dedup_minhash_pairs" -> {
+      val mins = (0 until minhashK).map(k =>
+        s"min((fp*${TF.hashA(k)} + ${TF.hashB(k)}) % ${TF.HashP}) AS h$k").mkString(", ")
+      val bandSelects = (0 until 4).map { j =>
+        val key = (0 until 4).map(r => s"cast(h${4 * j + r} AS VARCHAR)").mkString(" || '_' || ")
+        s"SELECT doc_id, $j AS band, $key AS key FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH sh AS (SELECT doc_id, unnest($oShingles) AS shingle
+            FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents)),
+          f AS (SELECT doc_id, ${oFp("shingle")} AS fp FROM sh),
+          sig AS (SELECT doc_id, $mins FROM f GROUP BY doc_id),
+          bands AS ($bandSelects),
+          cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+          shs AS (SELECT doc_id, $oShingles AS sh
+            FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents))
+          SELECT id_a, id_b,
+            round(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::DOUBLE
+              / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 4) AS jac
+          FROM cands JOIN shs sa ON id_a = sa.doc_id JOIN shs sb ON id_b = sb.doc_id"""
+    },
+
     "q_simhash" -> {
       val bits = (0 until 16).map(j =>
         s"(CASE WHEN sum(2*((h>>$j)&1) - 1) > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
@@ -353,20 +475,45 @@ object SparkEntry {
     },
 
     "q_dedup_embed_cosine" ->
-      s"""SELECT id_a, id_b, round(sim, 6) AS sim FROM (
+      s"""WITH e AS (SELECT vec_id, embedding, ${oNorm("embedding")} AS nrm FROM embeddings)
+          SELECT id_a, id_b, round(sim, 6) AS sim FROM (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              ${oSim("a.embedding", "b.embedding")} AS sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+              ${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id)
           WHERE sim >= 0.4""",
 
     "q_knn_cosine" ->
-      s"""SELECT query_id, cast(rk AS INT) AS rk, neighbor_id, round(sim, 6) AS sim FROM (
+      s"""WITH e AS (SELECT vec_id, embedding, ${oNorm("embedding")} AS nrm FROM embeddings)
+          SELECT query_id, cast(rk AS INT) AS rk, neighbor_id, round(sim, 6) AS sim FROM (
             SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-              ${oSim("e.embedding", "q.embedding")} AS sim,
+              ${oDot("e.embedding", "q.embedding")} / (e.nrm * q.nrm) AS sim,
               row_number() OVER (PARTITION BY q.vec_id
-                ORDER BY ${oSim("e.embedding", "q.embedding")} DESC, e.vec_id) AS rk
-            FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+                ORDER BY ${oDot("e.embedding", "q.embedding")} / (e.nrm * q.nrm) DESC, e.vec_id) AS rk
+            FROM e CROSS JOIN (SELECT * FROM e WHERE vec_id < 10) q
             WHERE e.vec_id <> q.vec_id) WHERE rk <= 5""",
+
+    "q_knn_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${oNorm("embedding")} AS nrm FROM embeddings),
+          cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+          assign AS (SELECT vec_id, embedding, nrm, cent_id FROM (
+            SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${oDot("e.embedding", "c.cv")} / (e.nrm * c.cnrm) DESC, c.cent_id) AS crk
+            FROM e CROSS JOIN cents c) WHERE crk = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm FROM e
+            WHERE vec_id >= 100 AND vec_id < 110),
+          probes AS (SELECT query_id, qv, qnrm, cent_id FROM (
+            SELECT q.query_id, q.qv, q.qnrm, c.cent_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${oDot("q.qv", "c.cv")} / (q.qnrm * c.cnrm) DESC, c.cent_id) AS crk
+            FROM q CROSS JOIN cents c) WHERE crk <= 2)
+          SELECT query_id, cast(rk AS INT) AS rk, neighbor_id, round(sim, 6) AS sim FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+              ${oDot("a.embedding", "p.qv")} / (a.nrm * p.qnrm) AS sim,
+              row_number() OVER (PARTITION BY p.query_id
+                ORDER BY ${oDot("a.embedding", "p.qv")} / (a.nrm * p.qnrm) DESC, a.vec_id) AS rk
+            FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+            WHERE a.vec_id <> p.query_id) WHERE rk <= 5""",
 
     "q_text_stats" ->
       s"""SELECT doc_id,

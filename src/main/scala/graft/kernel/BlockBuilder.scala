@@ -102,6 +102,14 @@ final class BlockBuilder extends HtmlTokenizer.Sink {
   }
 
   def result(): Vector[Block] = { finishBlock(); blocks.toVector }
+
+  /** Clear all state for reuse (per-partition kernel contexts avoid
+    * per-row builder allocation in the hot path). */
+  def reset(): Unit = {
+    blocks.clear(); kindStack.clear(); linkDepth = 0
+    sb.setLength(0); blockStart = -1; blockEnd = -1
+    blockKind = "text"; linkChars = 0; pendingSpace = false
+  }
 }
 
 object BlockBuilder {
@@ -116,8 +124,11 @@ object BlockBuilder {
   val VoidTags: Set[String] = Set("br", "hr")
 
   /** Tokenize + assemble in one pass. */
-  def build(html: String): Vector[Block] = {
-    val b = new BlockBuilder
+  def build(html: String): Vector[Block] = build(html, new BlockBuilder)
+
+  /** Same, reusing a caller-owned builder (reset first). */
+  def build(html: String, b: BlockBuilder): Vector[Block] = {
+    b.reset()
     HtmlTokenizer.tokenize(html, b)
     b.result()
   }

@@ -7,16 +7,26 @@ import graft.model.{ExtractConfig, ExtractedTurn, Span, Turn}
   * .read`, selected per document type at
   * `/root/reference/src/cmnd/cmnd_info.py:166-172`).
   */
+/** Per-task reusable kernel state: avoids per-row builder allocation inside
+  * mapPartitions (the analog of the reference's per-daemon model reuse,
+  * `/root/reference/src/extras/weinman/interface/server_so.py:100-103`). */
+final class ExtractorContext {
+  val blockBuilder = new BlockBuilder
+}
+
 sealed trait TurnExtractor {
   /** @return (extracted text, spans, blocksKept, blocksDropped) */
-  def extract(payload: String, cfg: ExtractConfig): (String, Vector[Span], Int, Int)
+  def extract(payload: String, cfg: ExtractConfig, ctx: ExtractorContext): (String, Vector[Span], Int, Int)
+
+  final def extract(payload: String, cfg: ExtractConfig): (String, Vector[Span], Int, Int) =
+    extract(payload, cfg, new ExtractorContext)
 }
 
 /** HTML boilerplate-strip dialect: tokenizer → block builder → keep/drop
   * classifier; kept blocks joined with "\n". */
 object HtmlExtractor extends TurnExtractor {
-  def extract(payload: String, cfg: ExtractConfig): (String, Vector[Span], Int, Int) = {
-    val blocks = BlockBuilder.build(payload)
+  def extract(payload: String, cfg: ExtractConfig, ctx: ExtractorContext): (String, Vector[Span], Int, Int) = {
+    val blocks = BlockBuilder.build(payload, ctx.blockBuilder)
     var kept = 0
     var dropped = 0
     val spans = Vector.newBuilder[Span]
@@ -39,7 +49,7 @@ object HtmlExtractor extends TurnExtractor {
 /** PDF-like layout-span dialect: parse `x y text` spans, reading-order
   * restore per [[LayoutParser]]. */
 object LayoutExtractor extends TurnExtractor {
-  def extract(payload: String, cfg: ExtractConfig): (String, Vector[Span], Int, Int) = {
+  def extract(payload: String, cfg: ExtractConfig, ctx: ExtractorContext): (String, Vector[Span], Int, Int) = {
     val parsed = LayoutParser.parse(payload, cfg)
     val text = parsed.lines.iterator.map(_.text).mkString("\n")
     (text, parsed.lines, parsed.lines.length, parsed.dropped)
@@ -49,7 +59,7 @@ object LayoutExtractor extends TurnExtractor {
 /** Pass-through dialect with normalization only (the `_clean` substitution
   * table). One span covering the content extent of the original payload. */
 object PlainExtractor extends TurnExtractor {
-  def extract(payload: String, cfg: ExtractConfig): (String, Vector[Span], Int, Int) = {
+  def extract(payload: String, cfg: ExtractConfig, ctx: ExtractorContext): (String, Vector[Span], Int, Int) = {
     val cleaned = Validators.clean(payload)
     if (cleaned.isEmpty) ("", Vector.empty, 0, 1)
     else {
@@ -104,10 +114,13 @@ object Extractor {
     if (lines > 0 && layoutish * 2 > lines) LayoutExtractor else PlainExtractor
   }
 
-  def extractTurn(t: Turn, cfg: ExtractConfig): ExtractedTurn = {
+  def extractTurn(t: Turn, cfg: ExtractConfig): ExtractedTurn =
+    extractTurn(t, cfg, new ExtractorContext)
+
+  def extractTurn(t: Turn, cfg: ExtractConfig, ctx: ExtractorContext): ExtractedTurn = {
     val payload = if (t.text == null) "" else t.text
     val ex = forTool(t.tool).getOrElse(sniff(payload))
-    val (text, spans, kept, dropped) = ex.extract(payload, cfg)
+    val (text, spans, kept, dropped) = ex.extract(payload, cfg, ctx)
     ExtractedTurn(t.conv_id, t.turn_idx, t.role, t.tool, t.ts,
       text, spans, kept, dropped, text.length)
   }

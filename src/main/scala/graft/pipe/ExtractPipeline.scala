@@ -57,8 +57,9 @@ object ExtractPipeline {
     val salted = Salting.salted(gated, cfg.saltBuckets)
     salted.mapPartitions { it =>
       val c = bcCfg.value // one broadcast fetch per task, not per row
+      val ctx = new graft.kernel.ExtractorContext // per-task reusable buffers
       it.map { t =>
-        val out = Extractor.extractTurn(t, c)
+        val out = Extractor.extractTurn(t, c, ctx)
         m.foreach { acc =>
           acc.turnsIn.add(1); acc.turnsOut.add(1)
           acc.blocksKept.add(out.blocksKept)

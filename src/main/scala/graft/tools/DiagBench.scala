@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import scala.collection.mutable.ArrayBuffer
+
+/** One-off diagnostic: per-stage wall time / task time / max task for the
+  * flagship extraction job at a given core count. Not part of the driver
+  * contract — used to find which stage stops scaling. */
+object DiagBench {
+  def main(args: Array[String]): Unit = {
+    val cores = if (args.nonEmpty) args(0).toInt else 16
+    val corpus = if (args.length > 1) args(1) else "/tmp/graft_bench_corpus_2000000_50000"
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val stages = ArrayBuffer.empty[(Int, String, Long, Long, Long, Int)]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+        val taskTime = si.taskMetrics.executorRunTime
+        stages += ((si.stageId, si.name.take(60), wall, taskTime,
+          si.taskMetrics.jvmGCTime, si.numTasks))
+      }
+    })
+
+    // warm
+    val t = spark.read.parquet(corpus).as[graft.model.Turn]
+    graft.pipe.ExtractPipeline.run(spark, t).write.mode("overwrite").parquet("/tmp/diag_out")
+    stages.clear()
+    val t0 = System.nanoTime()
+    graft.pipe.ExtractPipeline.run(spark, t).write.mode("overwrite").parquet("/tmp/diag_out")
+    val sec = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500)
+    println(f"TOTAL $sec%.2f s at $cores cores")
+    stages.sortBy(_._1).foreach { case (id, name, wall, tt, gc, n) =>
+      println(f"stage $id%3d wall=${wall / 1000.0}%7.2fs taskTime=${tt / 1000.0}%8.2fs gc=${gc / 1000.0}%6.2fs tasks=$n%4d  $name")
+    }
+    spark.stop()
+  }
+}

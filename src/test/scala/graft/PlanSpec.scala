@@ -1,0 +1,67 @@
+package graft
+
+import graft.gen.TranscriptGen
+import graft.pipe.ExtractPipeline
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan discipline (the "would this survive 100×?" checks):
+  * filters must reach the parquet scan, small dimensions must broadcast,
+  * aggregates must have a map-side partial phase, and the flagship pipeline
+  * must contain exactly its two intended exchanges. These assertions keep
+  * future edits from silently regressing the plan shape.
+  */
+class PlanSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("gate filters are pushed down to the parquet scan") {
+    val p = planOf("q_gate_filter")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("LessThanOrEqual(l_quantity"), p)
+    // PushedFilters list is truncated at 100 chars in toString; the
+    // EqualTo(l_returnflag…) lands right at the cut
+    assert(p.contains("EqualTo(l_retur"), p)
+  }
+
+  test("column pruning: charset projection reads only the two needed columns") {
+    val p = planOf("q_charset_proj")
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_name:string>"), p)
+  }
+
+  test("small dimension joins broadcast (no shuffle of the big side's keys)") {
+    assert(planOf("q_broadcast_join").contains("BroadcastHashJoin"))
+    assert(planOf("q_interval_join").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("aggregation has a map-side partial phase") {
+    val p = planOf("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+  }
+
+  test("near-dup jaccard is an equi-join on the shingle key, not a nested loop") {
+    val p = planOf("q_dedup_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    // inverted-index join: shingle equality is a hash-joinable key
+    assert(p.contains("hashpartitioning") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("flagship pipeline has exactly two exchanges (salt fan-out + order restore)") {
+    val ds = ExtractPipeline.run(spark,
+      TranscriptGen.dataset(spark, 42L, nConvs = 10, hotBase = 20))
+    val plan = ds.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges in:\n$plan")
+  }
+
+  test("whole-stage codegen covers the relational operator queries") {
+    // executedPlan.toString marks codegen'd subtrees with "*(n)"; under AQE
+    // the final plan only materializes after execution
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    df.collect() // count() would build a separate QueryExecution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)") && p.contains("isFinalPlan=true"), p)
+  }
+}
