@@ -320,6 +320,19 @@ object SparkEntry {
         .withColumn("rmsLevel", round(col("rmsLevel"), 4))
     }),
 
+    "x_extract_fields" -> ((s, _) => {
+      // named-field extraction (the reference's field-dict end product):
+      // line-interval assignment + per-field validators over the
+      // reading-ordered layout lines, template broadcast as data
+      val extracted = ExtractPipeline.run(s, TranscriptGen.dataset(s, 42L, 40, 100))
+        .filter(col("tool") === "layout")
+      val fieldsUdf = udf((text: String) =>
+        graft.kernel.FieldExtractor.extract(text.split("\n").toIndexedSeq))
+      extracted
+        .select(col("conv_id"), col("turn_idx"),
+          explode(fieldsUdf(col("text"))).as(Seq("field", "value")))
+    }),
+
     "x_lang_id" -> ((s, dir) => {
       // classifier-argmax demo over a broadcast profile table (J1 shape);
       // a UDF is acceptable here: the kernel is the operator being demoed,

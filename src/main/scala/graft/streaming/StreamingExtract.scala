@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.kernel.{Extractor, ExtractorContext}
+import graft.model.{ExtractConfig, ExtractedTurn, Turn}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming face of the extraction engine.
+  *
+  * The reference's ingestion is a long-lived daemon consuming a queue with
+  * time/size-triggered micro-batches (`Bucket.getBatch`: flush when
+  * count > batch_size OR age > 10 s — `/root/reference/src/controller/
+  * server.py:45-57`, `bucket_max_time=10` `controller/common.py:16`).
+  * Structured Streaming gives exactly those semantics declaratively:
+  * micro-batch triggers ≈ bucket flush, watermark ≈ max queue age, and the
+  * stateful windowed aggregation below reproduces the per-batch metrics the
+  * daemons logged. The primary engine stays batch-with-checkpoints (north
+  * rule); this face exists for stream-shaped deployments and is exercised
+  * by StreamingSpec via MemoryStream.
+  */
+object StreamingExtract {
+
+  /** Per-turn streaming extraction: same kernels, same per-task lazy init —
+    * mapPartitions works identically under micro-batch execution. */
+  def extract(spark: SparkSession, turns: Dataset[Turn],
+      cfg: ExtractConfig = ExtractConfig.default): Dataset[ExtractedTurn] = {
+    import spark.implicits._
+    val bcCfg = spark.sparkContext.broadcast(cfg)
+    turns
+      .filter(t => t.text != null && t.text.nonEmpty && t.text.length <= cfg.maxTextLen)
+      .mapPartitions { it =>
+        val c = bcCfg.value
+        val ctx = new ExtractorContext
+        it.map(Extractor.extractTurn(_, c, ctx))
+      }
+  }
+
+  /** Windowed extraction metrics (the streaming analog of the snapshot
+    * manifest's per-partition metrics): 10-second event-time tumbling
+    * windows per tool dialect, 30-second watermark for late turns. */
+  def windowedMetrics(extracted: Dataset[ExtractedTurn]): DataFrame =
+    extracted
+      .withWatermark("ts", "30 seconds")
+      .groupBy(window(col("ts"), "10 seconds"), col("tool"))
+      .agg(
+        count(lit(1)).as("turns"),
+        sum("blocksKept").as("blocksKept"),
+        sum("blocksDropped").as("blocksDropped"),
+        sum("charsEmitted").as("charsEmitted"))
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.gen.TranscriptGen
+import graft.streaming.StreamingExtract
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming face (SURVEY §2.10): the same kernels under micro-batch
+  * execution produce the same per-turn results, and the windowed metrics
+  * aggregation (Bucket-flush analog) sees every turn exactly once. */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  test("micro-batch extraction matches the batch goldens per turn") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val goldens = TranscriptGen.corpus(42L, nConvs = 20, hotBase = 40).toVector
+
+    val stream = MemoryStream[graft.model.Turn]
+    val extracted = StreamingExtract.extract(spark, stream.toDS())
+    val q = extracted.writeStream
+      .format("memory").queryName("stream_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    // feed in two micro-batches (size-triggered flush analog)
+    val (a, b) = goldens.map(_.turn).splitAt(goldens.size / 2)
+    stream.addData(a)
+    q.processAllAvailable()
+    stream.addData(b)
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("stream_out")
+      .select("conv_id", "turn_idx", "text")
+      .as[(String, Int, String)].collect()
+      .map { case (c, i, t) => (c, i) -> t }.toMap
+    assert(out.size == goldens.size)
+    goldens.foreach { g =>
+      assert(out((g.turn.conv_id, g.turn.turn_idx)) == g.expText)
+    }
+  }
+
+  test("windowed metrics count every turn once under watermarking") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val goldens = TranscriptGen.corpus(42L, nConvs = 10, hotBase = 30).toVector
+
+    val stream = MemoryStream[graft.model.Turn]
+    val metrics = StreamingExtract.windowedMetrics(
+      StreamingExtract.extract(spark, stream.toDS()))
+    val q = metrics.writeStream
+      .format("memory").queryName("stream_metrics")
+      .outputMode("complete")
+      .start()
+    stream.addData(goldens.map(_.turn))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("stream_metrics")
+    val totalTurns = rows.agg(org.apache.spark.sql.functions.sum("turns")).as[Long].first()
+    assert(totalTurns == goldens.size)
+    val totalChars = rows.agg(org.apache.spark.sql.functions.sum("charsEmitted")).as[Long].first()
+    assert(totalChars == goldens.map(_.expText.length).sum)
+  }
+}
