@@ -124,6 +124,19 @@ object SparkEntry {
         "left_anti")
     }),
 
+    "q_dict_match" -> ((s, dir) => {
+      // J8 dictionary-lookup join: words vs a broadcast wordlist with a
+      // levenshtein tolerance (the reference's enchant-dict word correction,
+      // idcardprocesser.py:26-49) — left-semi so multiple dictionary hits
+      // count a word once
+      import s.implicits._
+      val dictDf = SparkEntry.MatchDict.toDF("dw")
+      t(s, dir, "part")
+        .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("w"))
+        .join(broadcast(dictDf), levenshtein(col("w"), col("dw")) <= 1, "left_semi")
+        .groupBy(col("p_partkey")).agg(count(lit(1)).as("matched"))
+    }),
+
     "q_classify_argmax" -> ((s, dir) => {
       val scored = t(s, dir, "part")
         .crossJoin(broadcast(t(s, dir, "region")))
@@ -372,6 +385,10 @@ object SparkEntry {
 
   private val oStop = "['the','a','an','and','or','of','to','in','is','it']"
 
+  /** Broadcast wordlist for the dictionary-lookup join demo. */
+  val MatchDict: Seq[String] =
+    Seq("red", "blue", "green", "small", "large", "widget", "bolt", "ring", "gear", "cable")
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
@@ -413,6 +430,15 @@ object SparkEntry {
       """WITH names AS (SELECT DISTINCT p_name FROM part)
          SELECT p_name FROM names a WHERE NOT EXISTS (
            SELECT 1 FROM names b WHERE levenshtein(a.p_name, b.p_name) < 3 AND b.p_name < a.p_name)""",
+
+    "q_dict_match" -> {
+      val vals = MatchDict.map(w => s"('$w')").mkString(",")
+      s"""SELECT p_partkey, count(*) AS matched FROM (
+            SELECT p_partkey, w FROM (
+              SELECT p_partkey, unnest(string_split(p_name, ' ')) AS w FROM part)
+            WHERE EXISTS (SELECT 1 FROM (VALUES $vals) d(dw) WHERE levenshtein(w, dw) <= 1))
+          GROUP BY p_partkey"""
+    },
 
     "q_classify_argmax" ->
       """SELECT p_partkey, r_name AS best_template, cast(score AS BIGINT) AS score FROM (

@@ -93,6 +93,44 @@ object Validators {
     prev(b.length)
   }
 
+  /** `correctName` (reference `idcardprocesser.py:83-99` + `_correctWord`
+    * `:26-49`): word-wise dictionary correction against a broadcast wordlist:
+    *  1. exact dictionary hit → keep;
+    *  2. OCR-confusion retry: 't'→'i' substitution, accept on dictionary hit
+    *     (the reference's T→I retry);
+    *  3. nearest dictionary suggestion accepted iff
+    *     levenshtein/len < 0.34 (the reference's editdist-ratio gate);
+    *  4. otherwise the word stays as-is and is "meaningless".
+    * Score = longest run of meaningful words / word count (the reference's
+    * quality score for the name field).
+    * @return (score, corrected text) */
+  def correctName(raw: String, dict: Set[String]): (Double, String) = {
+    val words = clean(raw).split(' ').filter(_.nonEmpty)
+    if (words.isEmpty) return (0.0, "")
+    val corrected = words.map { w =>
+      val lw = w.toLowerCase
+      if (dict.contains(lw)) (true, lw)
+      else {
+        val ti = lw.replace('t', 'i')
+        if (dict.contains(ti)) (true, ti)
+        else {
+          // nearest suggestion with deterministic tie-break (distance, word)
+          val cands = dict.iterator
+            .map(d => (levenshtein(lw, d), d))
+            .filter { case (dist, _) => dist.toDouble / math.max(1, lw.length) < 0.34 }
+          if (cands.isEmpty) (false, lw)
+          else { val best = cands.minBy(identity); (true, best._2) }
+        }
+      }
+    }
+    var bestRun = 0
+    var run = 0
+    corrected.foreach { case (ok, _) =>
+      if (ok) { run += 1; bestRun = math.max(bestRun, run) } else run = 0
+    }
+    (bestRun.toDouble / words.length, corrected.map(_._2).mkString(" "))
+  }
+
   /** Accent decomposition dimension (reference diacritics CSV,
     * `/root/reference/src/algorithm/looptess.py:21-37`,
     * `temp/diacritics2.csv` rows like `1,à,a,0,2`): char → base char.

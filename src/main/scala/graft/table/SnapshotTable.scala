@@ -134,4 +134,31 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     require(entries.nonEmpty, s"no committed snapshot in $dir")
     spark.read.parquet(entries.map(_.path): _*)
   }
+
+  /** Bucket-pruned single-conversation read: computes the conversation's
+    * bucket driver-side and scans ONLY that bucket's files — the partition
+    * pruning the bucketed layout exists for (S1's single-row path:
+    * `.where(conv_id === x)` without touching the other 99.9% of the table).
+    */
+  def readConversation(spark: SparkSession, convId: String): DataFrame = {
+    val b = spark.range(1)
+      .select(pmod(xxhash64(lit(convId)), lit(numBuckets.toLong)).cast("int"))
+      .head().getInt(0)
+    val entries = committedEntries(spark).filter(_.bucket == b)
+    require(entries.nonEmpty, s"bucket $b not committed in $dir")
+    spark.read.parquet(entries.map(_.path): _*)
+      .where(col("conv_id") === convId)
+  }
+
+  /** Compaction (Iceberg rewrite-data-files analog): reads the live
+    * snapshot and rewrites every bucket as one fresh run, committing a
+    * snapshot where each bucket points at exactly one compacted file set.
+    * Old files stay on disk but become unreferenced (time-travel-able via
+    * older manifests; a GC pass could delete them). Incremental runs append
+    * a run-directory per resume — compaction folds them back to one. */
+  def compact(spark: SparkSession, runId: String): Long = {
+    import spark.implicits._
+    val df = read(spark).as[graft.model.ExtractedTurn]
+    commit(spark, df, runId)
+  }
 }

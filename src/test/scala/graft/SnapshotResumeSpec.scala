@@ -57,6 +57,46 @@ class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
     assert(fromTable.sameElements(oneShot))
   }
 
+  test("bucket-pruned conversation read touches only one bucket's files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snap").toString
+    val table = new SnapshotTable(dir, numBuckets = 8)
+    val turns = TranscriptGen.dataset(spark, seed, 40, 80, partitions = 3)
+    ExtractJob.runIncremental(spark, table, turns, runId = "runP")
+
+    val df = table.readConversation(spark, "conv000007")
+    val rows = df.select("conv_id", "turn_idx").as[(String, Int)].collect()
+    assert(rows.nonEmpty && rows.forall(_._1 == "conv000007"))
+    assert(rows.map(_._2).sorted.sameElements(0 until TranscriptGen.turnCount(7, 80)))
+    // pruning: every scanned file lives under exactly one bucket dir
+    val buckets = df.inputFiles.map(f => "bucket=(\\d+)".r.findFirstMatchIn(f).get.group(1)).distinct
+    assert(buckets.length == 1, buckets.mkString(","))
+  }
+
+  test("compaction folds multi-run buckets into one run, preserving data") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snap").toString
+    val table = new SnapshotTable(dir, numBuckets = 4)
+    val turns = TranscriptGen.dataset(spark, seed, 30, 60, partitions = 2)
+    // two incremental runs → two run dirs referenced
+    val half = turns.withColumn("bucket", table.bucketOf)
+      .where(col("bucket") < 2).drop("bucket").as[graft.model.Turn]
+    ExtractJob.runIncremental(spark, table, half, runId = "runA")
+    ExtractJob.runIncremental(spark, table, turns, runId = "runB")
+    assert(table.committedEntries(spark).map(_.runId).distinct.sorted == Seq("runA", "runB"))
+    val before = table.read(spark)
+      .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect().sorted
+
+    val snap = table.compact(spark, runId = "compact1")
+    assert(snap == 2L)
+    val entries = table.committedEntries(spark)
+    assert(entries.map(_.runId).distinct == Seq("compact1"))
+    assert(entries.map(_.bucket).sorted == (0 until 4))
+    val after = table.read(spark)
+      .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect().sorted
+    assert(after.sameElements(before))
+  }
+
   test("manifest carries lineage and per-bucket extraction metrics") {
     import spark.implicits._
     val dir = Files.createTempDirectory("snap").toString
