@@ -70,19 +70,8 @@ object Bench {
     val hotBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOT", "70000").toInt
     val turns = TranscriptGen.totalTurns(nConvs, hotBase)
 
-    // ---- operator queries at local[cpus]
-    var spark = newSession(cpus)
-    spark.range(10000000L).selectExpr("sum(id)").collect() // JIT/codegen warm-up
-    val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
-    val results =
-      if (skipQueries) Seq.empty[(String, Double)]
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-
     // ---- materialize the extraction corpus once (untimed, cached on disk)
+    var spark = newSession(cpus)
     val corpusPath = s"/tmp/graft_bench_corpus_${nConvs}_$hotBase"
     if (!Files.exists(Paths.get(corpusPath, "_SUCCESS"))) {
       TranscriptGen.dataset(spark, 42L, nConvs, hotBase, partitions = cpus * 8)
@@ -109,6 +98,22 @@ object Bench {
     val secSmall = math.min(s1, s2)
     val secBig = math.min(b1, b2)
     deleteRecursively(new java.io.File(benchOut))
+
+    // ---- operator queries at local[cpus] (after the scaling phase: the
+    // query mix bloats the shared JVM's heap and skews later measurements)
+    val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
+    val results =
+      if (skipQueries) Seq.empty[(String, Double)]
+      else {
+        spark = newSession(cpus)
+        val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+        spark.stop()
+        r
+      }
 
     val tpsBig = turns / secBig
     val tpsSmall = turns / secSmall

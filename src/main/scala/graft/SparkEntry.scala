@@ -42,7 +42,8 @@ object SparkEntry {
   private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     TextFingerprint.register(s)
     val sh = t(s, dir, "documents")
-      .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("shingle"))
+      .withColumn("w", TF.tokens(col("text"))) // materialize words ONCE per row
+      .select(col("doc_id"), explode(TF.shinglesOfWords(col("w"))).as("shingle"))
       .withColumn("fp", call_function("text_fingerprint", col("shingle")))
     val aggs = (0 until minhashK).map(k => min(TF.universalHash(col("fp"), k)).as(s"h$k"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -176,7 +177,8 @@ object SparkEntry {
       // No quadratic array_intersect; only docs actually sharing a shingle
       // ever meet, and the join is shuffle-hash on the shingle key.
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("source"), TF.shingles(col("text"), 3).as("sh"))
+        .withColumn("w", TF.tokens(col("text")))
+        .select(col("doc_id"), col("lang"), col("source"), TF.shinglesOfWords(col("w")).as("sh"))
       val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
       val sh = docs.select(col("doc_id"), col("lang"), col("source"),
         explode(col("sh")).as("shingle"))
@@ -212,7 +214,9 @@ object SparkEntry {
           col("a.band") === col("b.band") && col("a.key") === col("b.key")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
-      val sh = t(s, dir, "documents").select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
+      val sh = t(s, dir, "documents")
+        .withColumn("w", TF.tokens(col("text")))
+        .select(col("doc_id"), TF.shinglesOfWords(col("w")).as("sh"))
       val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
       cands
         .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))

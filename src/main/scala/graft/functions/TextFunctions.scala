@@ -52,16 +52,22 @@ object TextFunctions {
     least(lit(1.0), stopRatio * 4) * least(lit(1.0), meanTokLen / 4) * (lit(1.0) - punctRatio)
   }
 
-  /** Word n-gram shingles for minhash/Jaccard dedup; texts shorter than n
-    * words collapse to a single whole-text shingle. */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val w = tokens(c)
+  /** Word n-gram shingles from an ALREADY-MATERIALIZED words-array column;
+    * texts shorter than n words collapse to a single whole-text shingle.
+    * IMPORTANT: pass an attribute reference (e.g. `.withColumn("w",
+    * tokens(col("text")))` first), NOT `tokens(c)` inline — Catalyst inlines
+    * the split into every lambda element_at, re-splitting the text once per
+    * shingle element (measured ~10× slowdown on the dedup queries). */
+  def shinglesOfWords(w: Column, n: Int = 3): Column =
     array_distinct(
       when(size(w) >= n,
         transform(sequence(lit(0), size(w) - n), i =>
           concat_ws(" ", (1 to n).map(k => element_at(w, i + k)): _*)))
         .otherwise(array(concat_ws(" ", w))))
-  }
+
+  /** Convenience form over raw text; see the materialization note above —
+    * prefer shinglesOfWords on a projected words column in hot paths. */
+  def shingles(c: Column, n: Int = 3): Column = shinglesOfWords(tokens(c), n)
 
   /** Universal-hash family over a fingerprint: h_k(x) = (a_k·x + b_k) mod P,
     * P = 2^31 − 1. Constants derived from k alone so the DuckDB oracle can
