@@ -314,6 +314,18 @@ object SparkEntry {
         round(TF.qualityScore(c), 4).as("quality"))
     }),
 
+    "q_token_bpe" -> ((s, dir) => {
+      // BPE-style pre-tokenization count (GPT-2-ish word/number/punct
+      // splitting, simplified to a regex portable across Java and RE2):
+      // runs of letters (with optional leading space), runs of digits,
+      // runs of other non-space chars
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        expr("size(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+', 0))")
+          .cast("long").as("bpe_tokens"),
+        TF.tokenCount(col("text")).cast("long").as("ws_tokens"))
+    }),
+
     "q_fingerprint" -> ((s, dir) => {
       TextFingerprint.register(s)
       t(s, dir, "documents")
@@ -568,6 +580,12 @@ object SparkEntry {
               least(1.0, (length(regexp_replace(trim(text), ' +', '', 'g'))::DOUBLE / len(w)) / 4) *
               (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)), 4) AS quality
           FROM (SELECT doc_id, text, string_split_regex(trim(text), ' +') AS w FROM documents)""",
+
+    "q_token_bpe" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))::BIGINT AS bpe_tokens,
+           len(string_split_regex(trim(text), ' +'))::BIGINT AS ws_tokens
+         FROM documents""",
 
     "q_fingerprint" ->
       s"""SELECT doc_id, ${oFp("text")} AS fp FROM documents"""
