@@ -60,17 +60,23 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     * Spark's JSON reader — the manifest is data. */
   def committedEntries(spark: SparkSession): Seq[BucketEntry] =
     currentSnapshotId match {
-      case None => Seq.empty
-      case Some(id) =>
-        val f = manifestsDir.resolve(s"snap-$id.json")
-        import spark.implicits._
-        spark.read.json(f.toString)
-          .select("bucket", "path", "runId", "turns", "blocksKept",
-            "blocksDropped", "charsEmitted", "minTs", "maxTs")
-          .as[(Long, String, String, Long, Long, Long, Long, String, String)]
-          .collect().toSeq
-          .map(t => BucketEntry(t._1.toInt, t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9))
+      case None     => Seq.empty
+      case Some(id) => entriesAt(spark, id)
     }
+
+  /** Bucket entries of a SPECIFIC snapshot — time travel: older manifests
+    * stay on disk, so any historical snapshot remains readable. */
+  def entriesAt(spark: SparkSession, snapshotId: Long): Seq[BucketEntry] = {
+    val f = manifestsDir.resolve(s"snap-$snapshotId.json")
+    require(Files.exists(f), s"snapshot $snapshotId does not exist in $dir")
+    import spark.implicits._
+    spark.read.json(f.toString)
+      .select("bucket", "path", "runId", "turns", "blocksKept",
+        "blocksDropped", "charsEmitted", "minTs", "maxTs")
+      .as[(Long, String, String, Long, Long, Long, Long, String, String)]
+      .collect().toSeq
+      .map(t => BucketEntry(t._1.toInt, t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9))
+  }
 
   def committedBuckets(spark: SparkSession): Set[Int] =
     committedEntries(spark).map(_.bucket).toSet
@@ -132,6 +138,15 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
   def read(spark: SparkSession): DataFrame = {
     val entries = committedEntries(spark)
     require(entries.nonEmpty, s"no committed snapshot in $dir")
+    spark.read.parquet(entries.map(_.path): _*)
+  }
+
+  /** Time-travel read: the table as of `snapshotId` (Iceberg
+    * `VERSION AS OF` analog — compaction and later commits do not delete
+    * the files older manifests reference). */
+  def readAt(spark: SparkSession, snapshotId: Long): DataFrame = {
+    val entries = entriesAt(spark, snapshotId)
+    require(entries.nonEmpty, s"snapshot $snapshotId is empty")
     spark.read.parquet(entries.map(_.path): _*)
   }
 

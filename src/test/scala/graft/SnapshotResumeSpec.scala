@@ -95,6 +95,16 @@ class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
     val after = table.read(spark)
       .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect().sorted
     assert(after.sameElements(before))
+
+    // time travel: snapshot 0 (only buckets 0-1) is still readable as-was
+    val asOf0 = table.readAt(spark, 0L)
+      .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect().sorted
+    assert(asOf0.length < before.length && asOf0.nonEmpty)
+    assert(asOf0.toSet.subsetOf(before.toSet))
+    // and snapshot 1 (pre-compaction full table) equals the live table
+    val asOf1 = table.readAt(spark, 1L)
+      .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect().sorted
+    assert(asOf1.sameElements(after))
   }
 
   test("manifest carries lineage and per-bucket extraction metrics") {
