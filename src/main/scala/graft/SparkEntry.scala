@@ -155,6 +155,26 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("rn"))
     }),
 
+    "q_sessionize" -> ((s, dir) => {
+      // stateful window pattern: 30-minute-gap sessionization (lag →
+      // boundary flag → running sum = session id → per-session aggregates).
+      // The batch analog of the streaming bucket/session semantics.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // exact integer milliseconds on both engines (unix_timestamp would
+      // truncate to seconds while DuckDB's epoch keeps fractions)
+      t(s, dir, "events")
+        .withColumn("ms", expr("unix_millis(cast(ts AS TIMESTAMP))")) // ts is TIMESTAMP_NTZ in the parquet
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ms")) - min(col("ms"))).cast("long").as("duration_ms"))
+    }),
+
     "q_topk_window" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -349,6 +369,20 @@ object SparkEntry {
         .withColumn("rmsLevel", round(col("rmsLevel"), 4))
     }),
 
+    "x_sql_extract" -> ((s, _) => {
+      // the extraction kernel callable from SQL (SURVEY §7.3: registered
+      // UDF face; the native-Expression variant is a possible later step) —
+      // a user can run `SELECT html_main_text(text) FROM transcripts`
+      s.udf.register("html_main_text", (payload: String) =>
+        graft.kernel.HtmlExtractor.extract(
+          if (payload == null) "" else payload, graft.model.ExtractConfig.default)._1)
+      TranscriptGen.dataset(s, 42L, 30, 60)
+        .filter(col("tool") === "html")
+        .createOrReplaceTempView("transcripts_tmp")
+      s.sql("""SELECT conv_id, turn_idx, html_main_text(text) AS text
+               FROM transcripts_tmp WHERE length(text) > 0""")
+    }),
+
     "x_extract_fields" -> ((s, _) => {
       // named-field extraction (the reference's field-dict end product):
       // line-interval assignment + per-field validators over the
@@ -467,6 +501,17 @@ object SparkEntry {
       """SELECT user_id, event_id,
          cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn
          FROM events""",
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+          s AS (SELECT user_id, event_id, ts, ms,
+             CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS ns FROM e),
+          x AS (SELECT user_id, ms,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+          SELECT user_id, cast(sid AS BIGINT) AS session_id, count(*) AS n_events,
+            cast(max(ms) - min(ms) AS BIGINT) AS duration_ms
+          FROM x GROUP BY user_id, sid""",
 
     "q_topk_window" ->
       """SELECT o_orderpriority, cast(rk AS INT) AS rk, o_orderkey, round(o_totalprice,2) AS price FROM (
