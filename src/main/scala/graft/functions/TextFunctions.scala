@@ -71,7 +71,10 @@ object TextFunctions {
 
   /** Universal-hash family over a fingerprint: h_k(x) = (a_k·x + b_k) mod P,
     * P = 2^31 − 1. Constants derived from k alone so the DuckDB oracle can
-    * reproduce them. */
+    * reproduce them. (MinHash per Broder, "On the resemblance and
+    * containment of documents", 1997; banding analysis per Leskovec/
+    * Rajaraman/Ullman, Mining of Massive Datasets §3; SimHash per Charikar,
+    * STOC 2002.) */
   final val HashP: Long = 2147483647L
   def hashA(k: Int): Long = 1000003L * (k + 1)
   def hashB(k: Int): Long = 7919L * (k + 1)

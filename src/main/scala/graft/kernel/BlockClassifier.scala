@@ -2,7 +2,8 @@ package graft.kernel
 
 import graft.model.ExtractConfig
 
-/** Keep/drop block classifier — the jusText/boilerpipe analog of the
+/** Keep/drop block classifier — the jusText (Pomikálek 2011) / boilerpipe
+  * (Kohlschütter et al., WSDM 2010) style analog of the
   * reference's line pre-check gates
   * (`/root/reference/src/controller/pagepredictor.py:131-148`: height, aspect,
   * density rejects) and small-object/decoration removal
