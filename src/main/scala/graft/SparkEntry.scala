@@ -119,6 +119,9 @@ object SparkEntry {
     }),
 
     "q_anti_join_lev" -> ((s, dir) => {
+      // the LevenshteinPruning optimizer rule injects a cheap
+      // length-difference bound in front of the O(n·m) comparator
+      graft.plans.LevenshteinPruning.install(s)
       val names = t(s, dir, "part").select(col("p_name")).distinct()
       names.as("a").join(names.as("b"),
         levenshtein(col("a.p_name"), col("b.p_name")) < 3 && col("b.p_name") < col("a.p_name"),
@@ -153,6 +156,16 @@ object SparkEntry {
       t(s, dir, "events")
         .withColumn("rn", row_number().over(w))
         .select(col("user_id"), col("event_id"), col("rn"))
+    }),
+
+    "q_json_extract" -> ((s, dir) => {
+      // semi-structured column handling: pull a typed value out of the JSON
+      // props payload (portable regex rather than engine-specific JSON
+      // functions, so the oracle is exact)
+      t(s, dir, "events")
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
     }),
 
     "q_sessionize" -> ((s, dir) => {
@@ -501,6 +514,10 @@ object SparkEntry {
       """SELECT user_id, event_id,
          cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn
          FROM events""",
+
+    "q_json_extract" ->
+      """SELECT cast(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k, count(*) AS n
+         FROM events GROUP BY 1""",
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
