@@ -130,13 +130,19 @@ object Bench {
     // ---- operator queries at local[cpus] (after the scaling phase: the
     // query mix bloats the shared JVM's heap and skews later measurements)
     val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results =
       if (skipQueries) Seq.empty[(String, Double)]
       else {
         spark = newSession(cpus)
         val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            // a broken query must NOT bench as "fast": record the failure
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
           name -> (System.nanoTime() - t0) / 1e9
         }
         spark.stop()
@@ -154,16 +160,19 @@ object Bench {
     val hostCeiling = hostBig / math.max(1e-9, hostSmall)
 
     def f(d: Double): String = "%.3f".formatLocal(java.util.Locale.US, d)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (failed.contains(k)) "-1" else f(v))
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
     val extract =
       s"""{"turns":$turns,"cores_n":$smallCpus,"sec_n":${f(secSmall)},"tps_n":${f(tpsSmall)},""" +
         s""""cores_4n":$bigCpus,"sec_4n":${f(secBig)},"tps_4n":${f(tpsBig)},""" +
         s""""scaling_efficiency":${f(efficiency)},""" +
         s""""host_percore_retention_4n_vs_n":${f(hostCeiling)},""" +
         s""""efficiency_vs_host_ceiling":${f(efficiency / math.max(1e-9, hostCeiling))}}"""
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","extract":$extract}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","extract":$extract}""")
 
     // ---- refresh the scaling table the judge reads; keep per-run history
     // (the sandbox VM's multi-core throughput wobbles ±20-30% with noisy
@@ -182,6 +191,8 @@ object Bench {
           def grab(k: String) = s""""$k":([0-9.]+)""".r.findFirstMatchIn(l).map(_.group(1)).getOrElse("?")
           s"| ${grab("cores_n")}→${grab("cores_4n")} | ${grab("tps_n")} | ${grab("tps_4n")} | ${grab("efficiency")} | ${grab("hostCeiling")} |"
         }.mkString("\n")
+      // history rows are substituted AFTER stripMargin — embedded rows start
+      // with "| ", which stripMargin would otherwise strip as a margin
       Files.writeString(Paths.get("BENCH/BASELINE.md"),
         s"""# BENCH — scaling evidence (auto-written by graft.Bench)
            |
@@ -207,7 +218,7 @@ object Bench {
            |
            || N→4N cores | tps@N | tps@4N | efficiency | host ceiling |
            ||---|---|---|---|---|
-           |$histRows
+           |@HISTROWS@
            |
            |Kernel-only throughput (graft.tools.KernelBench, no Spark):
            |~282k turns/s single-thread (3.6 µs/turn), ~2.76M turns/s at 16
@@ -217,7 +228,7 @@ object Bench {
            |
            |Operator-query wall times (sf dir: $sfDir) are in the driver's
            |BENCH_r{N}.json (`queries` object of the JSON line).
-           |""".stripMargin)
+           |""".stripMargin.replace("@HISTROWS@", histRows))
     } catch { case _: Throwable => () }
   }
 }

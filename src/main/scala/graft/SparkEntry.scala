@@ -16,9 +16,14 @@ import graft.pipe.ExtractPipeline
   * equivalent; they are oracled by the sbt golden suites instead and get the
   * driver's rows-only check.
   *
-  * Float policy: every derived double is `round`-ed in BOTH engines; fp
-  * arithmetic is arranged to be bit-identical (sequential folds, same op
-  * order) so rounding is belt-and-braces, not load-bearing.
+  * Float policy: derived doubles are `round`-ed in BOTH engines. SUMs over
+  * parquet DOUBLE columns are cast to DECIMAL before aggregating — exact and
+  * order-independent on both engines (a double SUM accumulates in
+  * partition-dependent order in Spark vs sequential order in DuckDB, so a
+  * round(x,2) could flip at a .005 boundary). Scalar folds (dot products,
+  * fingerprints) are strictly sequential with identical op order on both
+  * sides; `percentile` interpolates over sorted values (order-independent)
+  * and keeps the round-only treatment.
   */
 object SparkEntry {
 
@@ -36,6 +41,13 @@ object SparkEntry {
   // shared pieces
 
   private val minhashK = 16
+
+  /** Document-frequency cap for the shingle inverted index: a shingle shared
+    * by k docs creates a k²-pair group in the self-join, so boilerplate
+    * shingles (high df) are both a skewed-key scale-killer and a weak dedup
+    * signal. Dropping them before the join is standard MinHash/LSH practice
+    * (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3). */
+  private val JaccardMaxDf = 16
 
   /** Signature matrix: doc_id, h0..h15 (min of a universal hash of the
     * shingle fingerprint per hash function). */
@@ -56,8 +68,9 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          round(sum(col("l_quantity").cast("decimal(20,6)")), 2).cast("double").as("sum_qty"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(24,8)")), 2)
+            .cast("double").as("revenue"),
           count(lit(1)).as("n"))
     }),
 
@@ -104,7 +117,8 @@ object SparkEntry {
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .agg(round(sum(col("o_totalprice").cast("decimal(20,6)")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
     }),
 
     "q_interval_join" -> ((s, dir) => {
@@ -115,7 +129,8 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .join(broadcast(ranges), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
         .groupBy(col("r_name"))
-        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(20,6)")), 2).cast("double").as("qty"))
     }),
 
     "q_anti_join_lev" -> ((s, dir) => {
@@ -205,16 +220,23 @@ object SparkEntry {
     }),
 
     "q_dedup_jaccard" -> ((s, dir) => {
-      // Inverted-index plan (the 100-TB shape): explode shingles → equi-join
-      // on (shingle, lang, source) → per-pair shared-shingle count → Jaccard.
-      // No quadratic array_intersect; only docs actually sharing a shingle
-      // ever meet, and the join is shuffle-hash on the shingle key.
+      // Inverted-index plan (the 100-TB shape): explode shingles →
+      // document-frequency cap → equi-join on (shingle, lang, source) →
+      // per-pair shared-shingle count → Jaccard over the capped shingle
+      // sets. No quadratic array_intersect; only docs actually sharing a
+      // RARE shingle ever meet. The df cap (window count over the shingle
+      // key — one shuffle, no second scan) removes the k²-pair blowup a
+      // boilerplate shingle shared by k docs would create.
       val docs = t(s, dir, "documents")
         .withColumn("w", TF.tokens(col("text")))
         .select(col("doc_id"), col("lang"), col("source"), TF.shinglesOfWords(col("w")).as("sh"))
-      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-      val sh = docs.select(col("doc_id"), col("lang"), col("source"),
-        explode(col("sh")).as("shingle"))
+      val wDf = Window.partitionBy(col("shingle"))
+      val sh = docs
+        .select(col("doc_id"), col("lang"), col("source"), explode(col("sh")).as("shingle"))
+        .withColumn("df", count(lit(1)).over(wDf))
+        .filter(col("df") <= JaccardMaxDf)
+        .drop("df")
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = sh.as("a"); val b = sh.as("b")
       val inter = a.join(b,
           col("a.shingle") === col("b.shingle") && col("a.lang") === col("b.lang")
@@ -454,8 +476,10 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
-         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(cast(l_quantity AS DECIMAL(20,6))),2)::DOUBLE AS sum_qty,
+         round(sum(cast(l_extendedprice*(1-l_discount) AS DECIMAL(24,8))),2)::DOUBLE AS revenue,
+         count(*) AS n
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
 
     "q_median" ->
@@ -479,12 +503,14 @@ object SparkEntry {
          FROM part""",
 
     "q_broadcast_join" ->
-      """SELECT n_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+      """SELECT n_name, round(sum(cast(o_totalprice AS DECIMAL(20,6))),2)::DOUBLE AS revenue,
+         count(*) AS n_orders
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          JOIN orders ON o_custkey = c_custkey GROUP BY n_name""",
 
     "q_interval_join" ->
-      """SELECT r_name, count(*) AS n, round(sum(l_quantity),2) AS qty
+      """SELECT r_name, count(*) AS n,
+         round(sum(cast(l_quantity AS DECIMAL(20,6))),2)::DOUBLE AS qty
          FROM lineitem JOIN region
          ON l_quantity >= r_regionkey*10 AND l_quantity < (r_regionkey+1)*10
          GROUP BY r_name""",
@@ -542,12 +568,19 @@ object SparkEntry {
 
     "q_dedup_jaccard" ->
       s"""WITH s AS (SELECT doc_id, lang, source, $oShingles AS sh
-            FROM (SELECT doc_id, lang, source, string_split_regex(trim(text), ' +') AS w FROM documents))
+            FROM (SELECT doc_id, lang, source, string_split_regex(trim(text), ' +') AS w FROM documents)),
+          ex AS (SELECT doc_id, lang, source, unnest(sh) AS shingle FROM s),
+          dfc AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+          rare AS (SELECT ex.doc_id, ex.lang, ex.source, ex.shingle
+            FROM ex JOIN dfc USING(shingle) WHERE df <= $JaccardMaxDf),
+          sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.lang = b.lang
+              AND a.source = b.source AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
           SELECT id_a, id_b, round(jac, 4) AS jac FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE
-                / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS jac
-            FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, inter::DOUBLE / (sa.n + sb.n - inter) AS jac
+            FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
           WHERE jac >= 0.02""",
 
     "q_minhash_sig" -> {

@@ -22,7 +22,9 @@ package graft.kernel
   *  - Any other `<` is a literal text character.
   *  - Character entities in text are decoded: `&amp; &lt; &gt; &quot; &apos;`
   *    → `& < > " '`, `&nbsp;` → regular space, `&#NN;` and `&#xHH;` →
-  *    code point. An `&` not followed by a well-formed entity (terminator `;`
+  *    code point (astral-plane code points ≤ 0x10FFFF are emitted as a
+  *    surrogate pair — two onText events carrying the whole entity's source
+  *    offsets). An `&` not followed by a well-formed entity (terminator `;`
   *    within 12 chars) is a literal `&`. Entities inside tags are NOT decoded.
   *
   *  Text is delivered per decoded char with [srcStart, srcEnd) offsets into
@@ -56,8 +58,8 @@ object HtmlTokenizer {
   }
 
   /** Decode the entity starting at `amp` (s(amp) == '&').
-    * @return decoded char in the low 16 bits and the END offset (exclusive)
-    *         in the upper bits, or -1 if not a well-formed entity.
+    * @return decoded code point in the low 32 bits and the END offset
+    *         (exclusive) in the upper bits, or -1 if not a well-formed entity.
     */
   private def decodeEntity(s: String, amp: Int): Long = {
     val n = s.length
@@ -84,7 +86,7 @@ object HtmlTokenizer {
               if (body.charAt(1) == 'x' || body.charAt(1) == 'X')
                 Integer.parseInt(body.substring(2), 16)
               else Integer.parseInt(body.substring(1))
-            if (cp >= 0 && cp <= 0xFFFF) cp else -1
+            if (cp >= 0 && cp <= 0x10FFFF) cp else -1
           } catch { case _: NumberFormatException => -1 }
         } else -1
     }
@@ -114,7 +116,9 @@ object HtmlTokenizer {
         val e = decodeEntity(s, i)
         if (e >= 0) {
           val end = (e >>> 32).toInt
-          sink.onText((e & 0xFFFF).toChar, i, end)
+          val cp = (e & 0xFFFFFFFFL).toInt
+          if (cp <= 0xFFFF) sink.onText(cp.toChar, i, end)
+          else Character.toChars(cp).foreach(sink.onText(_, i, end))
           i = end
         } else { sink.onText('&', i, i + 1); i += 1 }
       } else {

@@ -114,12 +114,16 @@ object Validators {
         val ti = lw.replace('t', 'i')
         if (dict.contains(ti)) (true, ti)
         else {
-          // nearest suggestion with deterministic tie-break (distance, word)
+          // nearest suggestion with deterministic tie-break (distance, word);
+          // materialized once (an Iterator must not be used after isEmpty)
           val cands = dict.iterator
             .map(d => (levenshtein(lw, d), d))
             .filter { case (dist, _) => dist.toDouble / math.max(1, lw.length) < 0.34 }
-          if (cands.isEmpty) (false, lw)
-          else { val best = cands.minBy(identity); (true, best._2) }
+            .toVector
+          cands.minOption match {
+            case Some((_, best)) => (true, best)
+            case None            => (false, lw)
+          }
         }
       }
     }

@@ -110,6 +110,18 @@ class HtmlAdversarialSpec extends AnyFunSuite {
     assert(blocks.map(_.kind) == Vector("h2", "p", "section"))
   }
 
+  test("astral-plane numeric entities decode to surrogate pairs") {
+    // 😀 = U+1F600; both decimal and hex forms, spans cover the whole entity
+    assert(text("<p>smile &#128512; here and hex &#x1F600; too</p>")
+      == "smile 😀 here and hex 😀 too")
+    val html = "<p>tail entity is astral &#128512;</p>"
+    val s = spans(html)
+    assert(html.substring(s.head.start, s.head.end) == "tail entity is astral &#128512;")
+    // out-of-range stays literal
+    assert(text("<p>bad code point &#1114112; stays literal text</p>")
+      == "bad code point &#1114112; stays literal text")
+  }
+
   test("deeply nested / pathological input does not throw") {
     val deep = "<div>" * 5000 + "payload text in the middle" + "</div>" * 5000
     assert(text(deep) == "payload text in the middle")
