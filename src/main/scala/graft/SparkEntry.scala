@@ -98,6 +98,18 @@ object SparkEntry {
         ).as("line_seq"))
     }),
 
+    "q_udaf_concat" -> ((s, dir) => {
+      // the typed-Aggregator UDAF face of ordered concat (SURVEY §2.9) —
+      // same semantics as q_ordered_concat's window/collect_list form, but
+      // driven through a custom Aggregator (partial-agg capable: merge is
+      // associative, finish sorts once per group)
+      val agg = udaf(new graft.functions.OrderedConcatAgg,
+        graft.functions.OrderedConcatAgg.lineEncoder)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(agg(col("l_linenumber"), col("l_returnflag")).as("line_seq"))
+    }),
+
     // -------------------------------------------------- filters (F)
     "q_gate_filter" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -405,12 +417,11 @@ object SparkEntry {
     }),
 
     "x_sql_extract" -> ((s, _) => {
-      // the extraction kernel callable from SQL (SURVEY §7.3: registered
-      // UDF face; the native-Expression variant is a possible later step) —
-      // a user can run `SELECT html_main_text(text) FROM transcripts`
-      s.udf.register("html_main_text", (payload: String) =>
-        graft.kernel.HtmlExtractor.extract(
-          if (payload == null) "" else payload, graft.model.ExtractConfig.default)._1)
+      // the extraction kernel callable from SQL — as a NATIVE codegen'd
+      // Catalyst expression (SURVEY §7.3's upgrade over the registered-UDF
+      // face): `SELECT html_main_text(text) FROM transcripts` stays inside
+      // whole-stage codegen (PlanSpec asserts it)
+      graft.functions.HtmlMainText.register(s)
       TranscriptGen.dataset(s, 42L, 30, 60)
         .filter(col("tool") === "html")
         .createOrReplaceTempView("transcripts_tmp")
@@ -491,6 +502,10 @@ object SparkEntry {
       "SELECT cast(floor(l_extendedprice/1000) AS BIGINT) AS bucket, count(*) AS n FROM lineitem GROUP BY 1",
 
     "q_ordered_concat" ->
+      """SELECT l_orderkey, string_agg(cast(l_linenumber AS VARCHAR) || l_returnflag, ','
+         ORDER BY l_linenumber, l_returnflag) AS line_seq FROM lineitem GROUP BY l_orderkey""",
+
+    "q_udaf_concat" ->
       """SELECT l_orderkey, string_agg(cast(l_linenumber AS VARCHAR) || l_returnflag, ','
          ORDER BY l_linenumber, l_returnflag) AS line_seq FROM lineitem GROUP BY l_orderkey""",
 

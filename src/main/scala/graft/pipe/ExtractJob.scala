@@ -31,10 +31,10 @@ object ExtractJob {
         .where(!col("bucket").isin(committed.toSeq: _*))
         .drop("bucket")
         .as[Turn]
-    if (pending.isEmpty) None
-    else {
-      val extracted = ExtractPipeline.extract(spark, pending, cfg, metrics)
-      Some(table.commit(spark, extracted, runId))
-    }
+    // No emptiness pre-probe (that was an extra pass over the gated input):
+    // commit itself detects the nothing-pending case in the same write pass
+    // and declines to cut a snapshot.
+    val extracted = ExtractPipeline.extract(spark, pending, cfg, metrics)
+    table.commit(spark, extracted, runId)
   }
 }

@@ -21,8 +21,12 @@ import org.apache.spark.util.LongAccumulator
   */
 object ExtractPipeline {
 
+  /** Kernel-stage counters. `turnsOut` counts turns that passed the gates
+    * and were extracted; gate drops are NOT separately counted here — the
+    * gates are Catalyst Column filters (pushable into the scan), and an
+    * accumulator there would force them into opaque typed lambdas. Input
+    * cardinality is the source's own metric (e.g. scan rows). */
   final case class Metrics(
-      turnsIn: LongAccumulator,
       turnsOut: LongAccumulator,
       blocksKept: LongAccumulator,
       blocksDropped: LongAccumulator,
@@ -30,7 +34,6 @@ object ExtractPipeline {
   )
 
   def newMetrics(spark: SparkSession): Metrics = Metrics(
-    spark.sparkContext.longAccumulator("graft.turnsIn"),
     spark.sparkContext.longAccumulator("graft.turnsOut"),
     spark.sparkContext.longAccumulator("graft.blocksKept"),
     spark.sparkContext.longAccumulator("graft.blocksDropped"),
@@ -61,7 +64,7 @@ object ExtractPipeline {
       it.map { t =>
         val out = Extractor.extractTurn(t, c, ctx)
         m.foreach { acc =>
-          acc.turnsIn.add(1); acc.turnsOut.add(1)
+          acc.turnsOut.add(1)
           acc.blocksKept.add(out.blocksKept)
           acc.blocksDropped.add(out.blocksDropped)
           acc.charsEmitted.add(out.charsEmitted)

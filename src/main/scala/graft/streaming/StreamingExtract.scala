@@ -27,7 +27,11 @@ object StreamingExtract {
     import spark.implicits._
     val bcCfg = spark.sparkContext.broadcast(cfg)
     turns
-      .filter(t => t.text != null && t.text.nonEmpty && t.text.length <= cfg.maxTextLen)
+      // column-based gate (Catalyst-visible — pushable into a real source),
+      // same predicate as the batch pipeline; a typed lambda here would be
+      // an opaque filter the optimizer cannot move into the scan
+      .filter(col("text").isNotNull && length(col("text")) > 0
+        && length(col("text")) <= cfg.maxTextLen)
       .mapPartitions { it =>
         val c = bcCfg.value
         val ctx = new ExtractorContext

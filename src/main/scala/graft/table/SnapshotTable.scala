@@ -1,9 +1,15 @@
 package graft.table
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 import graft.model.ExtractedTurn
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
 import scala.jdk.CollectionConverters._
 
 /** Iceberg-STYLE snapshot table over plain Parquet (no Iceberg jar in this
@@ -36,6 +42,14 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
   private def currentFile: Path = Paths.get(dir, "CURRENT")
 
   def bucketOf = pmod(xxhash64(col("conv_id")), lit(numBuckets.toLong)).cast("int")
+
+  /** Driver/kernel-side twin of [[bucketOf]] (same xxhash64 seed 42 +
+    * pmod) — a point lookup must not launch a Spark job to hash one key.
+    * Parity with the SQL expression is asserted by SnapshotResumeSpec. */
+  def bucketOfId(convId: String): Int = {
+    val h = XxHash64Function.hash(UTF8String.fromString(convId), StringType, 42L)
+    (((h % numBuckets) + numBuckets) % numBuckets).toInt
+  }
 
   final case class BucketEntry(
       bucket: Int, path: String, runId: String,
@@ -81,38 +95,65 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
   def committedBuckets(spark: SparkSession): Set[Int] =
     committedEntries(spark).map(_.bucket).toSet
 
+  private val TsFmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss").withZone(ZoneOffset.UTC)
+
   /** Write `extracted` (all buckets it contains) as a new run's data files
     * and commit a new snapshot = previous entries ∪ new entries.
     * Data is sorted by (conv_id, turn_idx) within each bucket file — the
     * stable-order invariant is materialized, not just asserted.
-    * @return the new snapshot id. */
-  def commit(spark: SparkSession, extracted: Dataset[ExtractedTurn], runId: String): Long = {
+    *
+    * Per-bucket manifest stats are collected by an accumulator IN the write
+    * pass (one scan total; the naive alternative — re-reading the written
+    * dataset to aggregate — is a second full table scan per commit at
+    * 100 TB). The stats observer runs pre-shuffle so the post-shuffle sort's
+    * ordering metadata survives to the writer (no redundant writer sort).
+    *
+    * @return Some(new snapshot id), or None if `extracted` was empty (no
+    *         data ⇒ no new snapshot; the manifest chain is unchanged). */
+  def commit(spark: SparkSession, extracted: Dataset[ExtractedTurn], runId: String): Option[Long] = {
     import spark.implicits._
     val dataPath = s"$dir/data/run=$runId"
 
-    val withBucket = extracted.withColumn("bucket", bucketOf)
-    // 1. DATA FIRST: bucketed, order-restored within files.
-    withBucket
+    val acc = new BucketStatsAccumulator
+    spark.sparkContext.register(acc, s"graft.bucketStats.$runId")
+    val nb = numBuckets
+    val observed = extracted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val local = scala.collection.mutable.Map.empty[Int, BStats]
+      var flushed = false
+      new Iterator[ExtractedTurn] {
+        override def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !flushed) { acc.add(pid -> local.toMap); flushed = true }
+          h
+        }
+        override def next(): ExtractedTurn = {
+          val t = it.next()
+          val hash = XxHash64Function.hash(UTF8String.fromString(t.conv_id), StringType, 42L)
+          val b = (((hash % nb) + nb) % nb).toInt
+          val ms = t.ts.getTime
+          val s = BStats(1L, t.blocksKept, t.blocksDropped, t.charsEmitted, ms, ms)
+          local.updateWith(b) { case Some(p) => Some(p.merge(s)); case None => Some(s) }
+          t
+        }
+      }
+    }
+
+    // 1. DATA FIRST: bucketed, order-restored within files; stats observed
+    //    in the same pass.
+    observed.withColumn("bucket", bucketOf)
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("conv_id"), col("turn_idx"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dataPath)
 
-    // 2. Per-bucket metrics (small: ≤ numBuckets rows) for the manifest.
-    val written = spark.read.parquet(dataPath)
-    val stats = written.groupBy(col("bucket")).agg(
-      count(lit(1)).as("turns"),
-      sum("blocksKept").as("bk"), sum("blocksDropped").as("bd"),
-      sum("charsEmitted").as("ce"),
-      date_format(min("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("minTs"),
-      date_format(max("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("maxTs")
-    ).collect()
-
-    val newEntries = stats.map { r =>
-      val b = r.getInt(0)
+    val newEntries = acc.value.toSeq.sortBy(_._1).map { case (b, s) =>
       BucketEntry(b, s"$dataPath/bucket=$b", runId,
-        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-        r.getString(5), r.getString(6))
+        s.turns, s.blocksKept, s.blocksDropped, s.charsEmitted,
+        TsFmt.format(Instant.ofEpochMilli(s.minTs)),
+        TsFmt.format(Instant.ofEpochMilli(s.maxTs)))
     }
+    if (newEntries.isEmpty) return None
 
     // 3. MANIFEST SECOND: full committed set = parent's ∪ new.
     val parent = currentSnapshotId.getOrElse(-1L)
@@ -130,7 +171,7 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     Files.writeString(tmpC, snapId.toString)
     Files.move(tmpC, currentFile,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    snapId
+    Some(snapId)
   }
 
   /** Read the live snapshot (only manifest-listed paths — orphan data from
@@ -156,9 +197,7 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     * `.where(conv_id === x)` without touching the other 99.9% of the table).
     */
   def readConversation(spark: SparkSession, convId: String): DataFrame = {
-    val b = spark.range(1)
-      .select(pmod(xxhash64(lit(convId)), lit(numBuckets.toLong)).cast("int"))
-      .head().getInt(0)
+    val b = bucketOfId(convId) // driver-side hash: a point lookup costs no job
     val entries = committedEntries(spark).filter(_.bucket == b)
     require(entries.nonEmpty, s"bucket $b not committed in $dir")
     spark.read.parquet(entries.map(_.path): _*)
@@ -175,5 +214,6 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     import spark.implicits._
     val df = read(spark).as[graft.model.ExtractedTurn]
     commit(spark, df, runId)
+      .getOrElse(sys.error(s"compact of empty table $dir"))
   }
 }

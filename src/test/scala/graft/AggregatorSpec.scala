@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.{OrderedConcatAgg, SpanTextAgg}
+import graft.model.Span
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Typed `Aggregator` UDAF surface (SURVEY §2.9). The untyped face is
+  * oracle-checked by `q_udaf_concat`; these specs pin the typed face and the
+  * partial-aggregation algebra (merge associativity over split buffers).
+  */
+class AggregatorSpec extends AnyFunSuite with SparkTestBase {
+
+  test("SpanTextAgg: groupByKey + typed column restores reading order") {
+    import spark.implicits._
+    val spans = Seq(
+      ("c1", Span(2, 30, 40, "p", "third block")),
+      ("c1", Span(0, 0, 10, "p", "first block")),
+      ("c2", Span(0, 0, 5, "p", "solo")),
+      ("c1", Span(1, 12, 25, "h1", "second block"))
+    ).toDS()
+    // deliberately shuffled input + repartition: merge order is arbitrary,
+    // finish must still sort by (blockIdx, start)
+    val out = spans.repartition(4)
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new SpanTextAgg().toColumn.name("text"))
+      .collect().toMap
+    assert(out("c1") == "first block\nsecond block\nthird block")
+    assert(out("c2") == "solo")
+  }
+
+  test("OrderedConcatAgg: udaf equals the window/collect_list form") {
+    import spark.implicits._
+    val df = Seq((1L, 2, "B"), (1L, 1, "A"), (1L, 2, "A"), (2L, 1, "C"))
+      .toDF("k", "n", "flag").repartition(3)
+    val agg = udaf(new OrderedConcatAgg, OrderedConcatAgg.lineEncoder)
+    val got = df.groupBy($"k").agg(agg($"n", $"flag").as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "1A,2A,2B") // ties on n break on flag
+    assert(got(2L) == "1C")
+  }
+
+  test("OrderedConcatAgg algebra: merge is order-insensitive") {
+    val a = new OrderedConcatAgg
+    import OrderedConcatAgg._
+    val left = a.reduce(a.reduce(a.zero, Line(3, "z")), Line(1, "a"))
+    val right = a.reduce(a.zero, Line(2, "m"))
+    assert(a.finish(a.merge(left, right)) == a.finish(a.merge(right, left)))
+    assert(a.finish(a.merge(left, right)) == "1a,2m,3z")
+  }
+}

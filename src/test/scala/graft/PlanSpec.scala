@@ -56,6 +56,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges in:\n$plan")
   }
 
+  test("html_main_text runs as a codegen'd native expression, not a UDF") {
+    val df = SparkEntry.queries("x_sql_extract")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("html_main_text"), p)
+    // native Expression ⇒ the projection stays inside a WholeStageCodegen
+    // subtree and no ScalaUDF/BatchEvalPython node appears
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEval"), p)
+    assert("\\*\\(\\d+\\).*html_main_text".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("udaf ordered-concat keeps a map-side partial aggregation phase") {
+    val df = SparkEntry.queries("q_udaf_concat")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_orderedconcatagg") || p.contains("partial_"), p)
+  }
+
   test("whole-stage codegen covers the relational operator queries") {
     // executedPlan.toString marks codegen'd subtrees with "*(n)"; under AQE
     // the final plan only materializes after execution

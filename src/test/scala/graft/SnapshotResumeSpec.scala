@@ -73,6 +73,15 @@ class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
     assert(buckets.length == 1, buckets.mkString(","))
   }
 
+  test("driver-side bucketOfId matches the SQL bucketOf expression") {
+    import spark.implicits._
+    val table = new SnapshotTable("/tmp/unused", numBuckets = 8)
+    val ids = (0 until 200).map(i => f"conv$i%06d")
+    val sql = ids.toDF("conv_id").withColumn("b", table.bucketOf)
+      .as[(String, Int)].collect().toMap
+    ids.foreach { id => assert(table.bucketOfId(id) == sql(id), id) }
+  }
+
   test("compaction folds multi-run buckets into one run, preserving data") {
     import spark.implicits._
     val dir = Files.createTempDirectory("snap").toString
