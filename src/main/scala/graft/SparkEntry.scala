@@ -404,7 +404,8 @@ object SparkEntry {
     "x_extract_flagship" -> ((s, _) => {
       ExtractPipeline.run(s, TranscriptGen.dataset(s, 42L, nConvs = 80, hotBase = 200))
         .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
-          col("text"), col("blocksKept"), col("blocksDropped"), col("charsEmitted"))
+          col("text"), col("blocksKept"), col("blocksDropped"), col("charsEmitted"),
+          col("classifyScore"))
     }),
 
     "x_media_features" -> ((s, dir) => {
@@ -432,14 +433,21 @@ object SparkEntry {
     "x_extract_fields" -> ((s, _) => {
       // named-field extraction (the reference's field-dict end product):
       // line-interval assignment + per-field validators over the
-      // reading-ordered layout lines, template broadcast as data
+      // reading-ordered layout lines. The template is DATA: parsed from
+      // JSON driver-side, broadcast as a per-tool dimension (S9), looked up
+      // per turn — adding a document type is a config change, not code
+      val templates = graft.kernel.TemplateStore.parse(graft.kernel.TemplateStore.DefaultJson)
+      val bcTemplates = s.sparkContext.broadcast(templates)
       val extracted = ExtractPipeline.run(s, TranscriptGen.dataset(s, 42L, 40, 100))
         .filter(col("tool") === "layout")
-      val fieldsUdf = udf((text: String) =>
-        graft.kernel.FieldExtractor.extract(text.split("\n").toIndexedSeq))
+      val fieldsUdf = udf((tool: String, text: String) =>
+        bcTemplates.value.get(tool) match {
+          case Some(tpl) => graft.kernel.FieldExtractor.extract(text.split("\n").toIndexedSeq, tpl)
+          case None      => Map.empty[String, String]
+        })
       extracted
         .select(col("conv_id"), col("turn_idx"),
-          explode(fieldsUdf(col("text"))).as(Seq("field", "value")))
+          explode(fieldsUdf(col("tool"), col("text"))).as(Seq("field", "value")))
     }),
 
     "x_lang_id" -> ((s, dir) => {

@@ -87,11 +87,20 @@ object Extractor {
     case _        => None
   }
 
-  /** Dialect sniffing for unknown `tool` values: a cheap score per dialect
-    * over a bounded prefix (compute-on-sample, analog of the center-crop
-    * skew estimate `pagepredictor.py:262`), argmax with fixed precedence
-    * html > layout > plain on ties. */
-  def sniff(payload: String): TurnExtractor = {
+  /** Scored dialect sniffing for unknown `tool` values: a cheap confidence
+    * per dialect over a bounded prefix (compute-on-sample, analog of the
+    * center-crop skew estimate `pagepredictor.py:262`), argmax with fixed
+    * precedence html > layout > plain on ties. The score is the F2 gate's
+    * input (reference emits a classify score and gates `< 0.3`,
+    * `idcardprocesser.py:133-137`). Spec (locked):
+    *  - html: chosen when ≥ 2 tag-like `<` in the prefix; score
+    *    min(1, tags/4) — so always ≥ 0.5;
+    *  - layout: chosen when > half the non-blank lines start with two ints;
+    *    score = layoutish/lines ∈ (0.5, 1];
+    *  - plain fallback: score 0.4 if the prefix has any non-whitespace
+    *    content, else 0.0 (gated out).
+    */
+  def sniffScored(payload: String): (TurnExtractor, Double) = {
     val sample = if (payload.length > 2048) payload.substring(0, 2048) else payload
     var tags = 0
     var i = sample.indexOf('<')
@@ -100,7 +109,7 @@ object Extractor {
       if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == '/') tags += 1
       i = sample.indexOf('<', i + 1)
     }
-    if (tags >= 2) return HtmlExtractor
+    if (tags >= 2) return (HtmlExtractor, math.min(1.0, tags / 4.0))
     // layout: most non-blank lines start with two ints
     var layoutish = 0
     var lines = 0
@@ -111,17 +120,23 @@ object Extractor {
       if (firstTok.nonEmpty && t.length > firstTok.length && t.charAt(firstTok.length) == ' ')
         layoutish += 1
     }
-    if (lines > 0 && layoutish * 2 > lines) LayoutExtractor else PlainExtractor
+    if (lines > 0 && layoutish * 2 > lines) (LayoutExtractor, layoutish.toDouble / lines)
+    else (PlainExtractor, if (sample.exists(!Character.isWhitespace(_))) 0.4 else 0.0)
   }
+
+  def sniff(payload: String): TurnExtractor = sniffScored(payload)._1
 
   def extractTurn(t: Turn, cfg: ExtractConfig): ExtractedTurn =
     extractTurn(t, cfg, new ExtractorContext)
 
   def extractTurn(t: Turn, cfg: ExtractConfig, ctx: ExtractorContext): ExtractedTurn = {
     val payload = if (t.text == null) "" else t.text
-    val ex = forTool(t.tool).getOrElse(sniff(payload))
+    val (ex, score) = forTool(t.tool) match {
+      case Some(e) => (e, 1.0) // tool column named the dialect: full confidence
+      case None    => sniffScored(payload)
+    }
     val (text, spans, kept, dropped) = ex.extract(payload, cfg, ctx)
     ExtractedTurn(t.conv_id, t.turn_idx, t.role, t.tool, t.ts,
-      text, spans, kept, dropped, text.length)
+      text, spans, kept, dropped, text.length, score)
   }
 }

@@ -24,15 +24,25 @@ package graft.kernel
   */
 object FieldExtractor {
 
-  /** kind ∈ {"id", "date", "name", "text"} selects the validator. */
-  final case class FieldSpec(name: String, lineFrom: Int, lineTo: Int, kind: String)
+  /** kind ∈ {"id", "date", "name", "text"} selects the validator.
+    * `charset`, when set, is the field's output alphabet (reference per-field
+    * charsets, e.g. digits-only `out_charset_so`,
+    * `/root/reference/src/extras/weinman/mjsynth.py:23-25`): chars outside it
+    * are projected away AFTER validation; a field whose value empties out is
+    * dropped. */
+  final case class FieldSpec(name: String, lineFrom: Int, lineTo: Int, kind: String,
+      charset: Option[String] = None)
 
-  /** A receipt/ID-card-shaped default template over reading-ordered lines. */
+  /** A receipt/ID-card-shaped default template over reading-ordered lines.
+    * The data form of the same template is [[TemplateStore.DefaultJson]]
+    * (kept in lockstep by TemplateStoreSpec) — deployments load templates
+    * as broadcast data, this constant is the in-code twin for kernels and
+    * tests. */
   val DefaultTemplate: Seq[FieldSpec] = Seq(
     FieldSpec("title", 0, 0, "text"),
-    FieldSpec("idNumber", 1, 1, "id"),
+    FieldSpec("idNumber", 1, 1, "id", Some("0123456789")),
     FieldSpec("fullName", 2, 3, "name"),
-    FieldSpec("dateOfBirth", 4, 4, "date"),
+    FieldSpec("dateOfBirth", 4, 4, "date", Some("0123456789-")),
     FieldSpec("address", 5, 7, "text")
   )
 
@@ -55,7 +65,12 @@ object FieldExtractor {
           case "name" => Some(Validators.clean(joined)).filter(_.nonEmpty)
           case _      => Some(Validators.clean(joined)).filter(_.nonEmpty)
         }
-        validated.foreach { v =>
+        // per-field output alphabet (C8): project to the allowed charset
+        val projected = spec.charset match {
+          case Some(cs) => validated.map(Validators.charsetFilter(_, cs.toSet)).filter(_.nonEmpty)
+          case None     => validated
+        }
+        projected.foreach { v =>
           out += spec.name -> v
           totalChars += v.length
         }

@@ -45,6 +45,12 @@ final case class Span(
 /** Extraction result for one turn. `text` is the extracted main content
   * (kept blocks joined with "\n"); metrics mirror the reference's per-doc
   * counters (total-char gate `idcardprocesser.py:170-176`).
+  *
+  * `classifyScore` is the dialect-classification confidence (reference
+  * emits a classify score and gates on it, `idcardprocesser.py:133-137`):
+  * 1.0 when `tool` named the dialect, the sniffer's score in [0,1] when the
+  * dialect had to be inferred. The pipeline's F2 gate drops turns below
+  * [[ExtractConfig.minClassifyScore]].
   */
 final case class ExtractedTurn(
     conv_id: String,
@@ -56,7 +62,8 @@ final case class ExtractedTurn(
     spans: Seq[Span],
     blocksKept: Int,
     blocksDropped: Int,
-    charsEmitted: Int
+    charsEmitted: Int,
+    classifyScore: Double
 )
 
 /** Broadcast job config (no globals, no wall-clock).
@@ -76,7 +83,10 @@ final case class ExtractConfig(
     minBlockLen: Int = 15,
     maxLinkDensity: Double = 0.5,
     saltBuckets: Int = 16,
-    lineHeight: Int = 10
+    lineHeight: Int = 10,
+    /** F2 confidence gate: turns whose dialect classification scored below
+      * this are dropped (reference gate `idcardprocesser.py:135`, `< 0.3`). */
+    minClassifyScore: Double = 0.3
 )
 
 object ExtractConfig {

@@ -72,6 +72,10 @@ object ExtractPipeline {
         out
       }
     }
+      // F2 confidence gate (reference classify-score gate < 0.3,
+      // idcardprocesser.py:135): a no-op for turns whose `tool` named the
+      // dialect (score 1.0); sniffed low-confidence turns are dropped here
+      .filter(col("classifyScore") >= cfg.minClassifyScore)
   }
 
   /** Restore the north-rule stable ordering: each output partition holds
