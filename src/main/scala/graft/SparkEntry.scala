@@ -49,6 +49,12 @@ object SparkEntry {
     * (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3). */
   private val JaccardMaxDf = 16
 
+  /** IVF coarse-quantizer training constants (deterministic Lloyd's k-means
+    * over scaled-integer vectors; see q_knn_ivf). */
+  private val IvfK = 16
+  private val IvfIters = 3
+  private val IvfScale = 1000000.0
+
   /** Signature matrix: doc_id, h0..h15 (min of a universal hash of the
     * shingle fingerprint per hash function). */
   private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
@@ -321,6 +327,35 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     }),
 
+    "q_dedup_embed_lsh" -> ((s, dir) => {
+      // The no-all-pairs embedding dedup (the 100-TB shape, mirroring how
+      // minhash_pairs sits behind banding): 32-bit random-hyperplane
+      // signatures (plane_sig), banded 4×8 bits, candidates = equi-join on
+      // the band bucket, exact cosine verify on candidates only. The
+      // all-pairs q_dedup_embed_cosine stays as the exactness twin.
+      VF.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), VF.l2NormF(col("embedding")).as("nrm"),
+          VF.planeSig(col("embedding")).as("sig"))
+      val bandStructs = array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("key"))
+      }: _*)
+      val bands = e.select(col("vec_id"), explode(bandStructs).as("bk"))
+        .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cands = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key")
+            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b")).distinct()
+      cands
+        .join(e.as("sa"), col("id_a") === col("sa.vec_id"))
+        .join(e.as("sb"), col("id_b") === col("sb.vec_id"))
+        .withColumn("sim",
+          VF.dotF(col("sa.embedding"), col("sb.embedding")) / (col("sa.nrm") * col("sb.nrm")))
+        .filter(col("sim") >= 0.4)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+    }),
+
     // -------------------------------------------------- similarity search
     "q_knn_cosine" -> ((s, dir) => {
       VF.register(s)
@@ -337,34 +372,54 @@ object SparkEntry {
     }),
 
     "q_knn_ivf" -> ((s, dir) => {
-      // IVF-style ANN (the scale path): a small deterministic coarse
-      // quantizer (centroids = vec_id < 16), vectors assigned to their
-      // nearest centroid (inverted lists), queries probe their 2 nearest
-      // centroids and search ONLY those lists — equi-join on centroid id,
-      // no full cross join. Approximate by construction; exactness is
-      // q_knn_cosine's job.
+      // IVF ANN with a TRAINED coarse quantizer: deterministic Lloyd's
+      // k-means (k=16, 3 iterations, init = first k vectors) run in
+      // SCALED-INTEGER space — vectors quantized to floor(x·10⁶ + 0.5) —
+      // so sums, means (floor of an exact double division), and squared
+      // distances are exact and order-independent, making training
+      // bit-reproducible in DuckDB (the oracle unrolls the same
+      // iterations). Queries probe their 2 nearest centroids and search
+      // only those inverted lists (equi-join on cent_id, no full cross
+      // join); the in-list ranking is exact float cosine. Approximate by
+      // construction; exactness twin = q_knn_cosine (IvfRecallSpec pins
+      // recall@5 against it).
       VF.register(s)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"), VF.l2NormF(col("embedding")).as("nrm"))
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"), col("nrm").as("cnrm"))
-      def simTo(v: Column, n: Column): Column = VF.dotF(v, col("cv")) / (n * col("cnrm"))
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
-      val assign = e.crossJoin(broadcast(cents))
-        .withColumn("csim", simTo(col("embedding"), col("nrm")))
-        .withColumn("crk", row_number().over(wAssign)).filter(col("crk") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
-      val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
-      val wProbe = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cent_id"))
-      val probes = q.crossJoin(broadcast(cents))
-        .withColumn("csim", simTo(col("qv"), col("qnrm")))
-        .withColumn("crk", row_number().over(wProbe)).filter(col("crk") <= 2)
-        .select(col("query_id"), col("qv"), col("qnrm"), col("cent_id"))
+      val qz = e.withColumn("qv",
+        transform(col("embedding"), x => floor(x.cast("double") * IvfScale + lit(0.5))))
+      // integer squared distance between quantized vectors (exact)
+      def d2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+      def nearest(points: DataFrame, vecCol: String, idCol: String, cents: DataFrame, keep: Int) = {
+        val w = Window.partitionBy(col(idCol)).orderBy(col("_d2"), col("cent_id"))
+        points.crossJoin(broadcast(cents))
+          .withColumn("_d2", d2(col(vecCol), col("cv")))
+          .withColumn("_rk", row_number().over(w)).filter(col("_rk") <= keep)
+          .drop("_d2", "_rk", "cv")
+      }
+      // ---- Lloyd's: init from the first k vectors, then iterate
+      var cents = qz.filter(col("vec_id") < IvfK)
+        .select(col("vec_id").cast("int").as("cent_id"), col("qv").as("cv"))
+      for (_ <- 0 until IvfIters) {
+        val assigned = nearest(qz.select(col("vec_id"), col("qv")), "qv", "vec_id", cents, 1)
+        cents = assigned
+          .select(col("cent_id"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy(col("cent_id"), col("pos"))
+          .agg(floor(sum(col("v")).cast("double") / count(lit(1))).as("c"))
+          .groupBy(col("cent_id"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            p => p.getField("c")).as("cv"))
+      }
+      val assign = nearest(qz, "qv", "vec_id", cents, 1)
+      val q = qz.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qnrm"), col("qv"))
+      val probes = nearest(q, "qv", "query_id", cents, 2)
       val wTop = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
-      probes.join(assign, "cent_id")
+      probes.join(assign.select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id")), "cent_id")
         .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("sim", VF.dotF(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
+        .withColumn("sim", VF.dotF(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")))
         .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 5)
         .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
           round(col("sim"), 6).as("sim"))
@@ -488,6 +543,52 @@ object SparkEntry {
     "list_distinct(CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [array_to_string(w, ' ')] END)"
 
   private val oStop = "['the','a','an','and','or','of','to','in','is','it']"
+
+  /** q_knn_ivf oracle: Lloyd's k-means unrolled to [[IvfIters]] iterations in
+    * scaled-integer space — every training step (sum, floored mean, squared
+    * distance, argmin with cent_id tie-break) is exact integer/IEEE-double
+    * arithmetic identical to the Spark side, so the trained centroids are
+    * bit-reproducible across engines. */
+  private def oKnnIvf: String = {
+    def oD2(a: String, b: String): String =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 64), i -> ($a[i]-$b[i])*($a[i]-$b[i]))), (acc, x) -> acc + x)"
+    val iterCtes = (0 until IvfIters).map { it =>
+      s"""a$it AS (SELECT vec_id, qv, cent_id FROM (
+            SELECT qz.vec_id, qz.qv, c.cent_id,
+              row_number() OVER (PARTITION BY qz.vec_id
+                ORDER BY ${oD2("qz.qv", "c.cv")}, c.cent_id) AS rk
+            FROM qz CROSS JOIN c$it c) WHERE rk = 1),
+          s$it AS (SELECT cent_id, i, CAST(floor(sum(v)::DOUBLE / count(*)) AS BIGINT) AS c
+            FROM (SELECT cent_id, i, qv[i] AS v FROM a$it, generate_series(1, 64) g$it(i))
+            GROUP BY cent_id, i),
+          c${it + 1} AS (SELECT cent_id, list(c ORDER BY i) AS cv FROM s$it GROUP BY cent_id)"""
+    }.mkString(",\n          ")
+    s"""WITH e AS (SELECT vec_id, embedding, ${oNorm("embedding")} AS nrm FROM embeddings),
+        qz AS (SELECT vec_id, embedding, nrm,
+          list_transform(generate_series(1, 64),
+            i -> CAST(floor(embedding[i]::DOUBLE * $IvfScale + 0.5) AS BIGINT)) AS qv FROM e),
+        c0 AS (SELECT CAST(vec_id AS INT) AS cent_id, qv AS cv FROM qz WHERE vec_id < $IvfK),
+        $iterCtes,
+        assign AS (SELECT vec_id, embedding, nrm, cent_id FROM (
+          SELECT qz.vec_id, qz.embedding, qz.nrm, c.cent_id,
+            row_number() OVER (PARTITION BY qz.vec_id
+              ORDER BY ${oD2("qz.qv", "c.cv")}, c.cent_id) AS rk
+          FROM qz CROSS JOIN c$IvfIters c) WHERE rk = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qnrm, qv FROM qz
+          WHERE vec_id >= 100 AND vec_id < 110),
+        probes AS (SELECT query_id, qe, qnrm, cent_id FROM (
+          SELECT q.query_id, q.qe, q.qnrm, c.cent_id,
+            row_number() OVER (PARTITION BY q.query_id
+              ORDER BY ${oD2("q.qv", "c.cv")}, c.cent_id) AS rk
+          FROM q CROSS JOIN c$IvfIters c) WHERE rk <= 2)
+        SELECT query_id, cast(rk AS INT) AS rk, neighbor_id, round(sim, 6) AS sim FROM (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+            ${oDot("a.embedding", "p.qe")} / (a.nrm * p.qnrm) AS sim,
+            row_number() OVER (PARTITION BY p.query_id
+              ORDER BY ${oDot("a.embedding", "p.qe")} / (a.nrm * p.qnrm) DESC, a.vec_id) AS rk
+          FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+          WHERE a.vec_id <> p.query_id) WHERE rk <= 5"""
+  }
 
   /** Broadcast wordlist for the dictionary-lookup join demo. */
   val MatchDict: Seq[String] =
@@ -665,28 +766,29 @@ object SparkEntry {
             FROM e CROSS JOIN (SELECT * FROM e WHERE vec_id < 10) q
             WHERE e.vec_id <> q.vec_id) WHERE rk <= 5""",
 
-    "q_knn_ivf" ->
+    "q_knn_ivf" -> oKnnIvf,
+
+    "q_dedup_embed_lsh" -> {
+      val terms = (0 until graft.functions.PlaneSigF.Bits).map { j =>
+        val aj = TF.hashA(j); val bj = TF.hashB(j)
+        s"""(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64),
+           | i -> embedding[i]::DOUBLE * (((($aj::BIGINT*i + $bj) % ${TF.HashP})::DOUBLE / ${TF.HashP}) - 0.5))),
+           | (acc, x) -> acc + x) >= 0 THEN ${1L << j} ELSE 0 END)""".stripMargin.replace("\n", "")
+      }.mkString(" + ")
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT vec_id, $b AS band, (sig >> ${8 * b}) & 255 AS key FROM sig").mkString(" UNION ALL ")
       s"""WITH e AS (SELECT vec_id, embedding, ${oNorm("embedding")} AS nrm FROM embeddings),
-          cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
-          assign AS (SELECT vec_id, embedding, nrm, cent_id FROM (
-            SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY ${oDot("e.embedding", "c.cv")} / (e.nrm * c.cnrm) DESC, c.cent_id) AS crk
-            FROM e CROSS JOIN cents c) WHERE crk = 1),
-          q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm FROM e
-            WHERE vec_id >= 100 AND vec_id < 110),
-          probes AS (SELECT query_id, qv, qnrm, cent_id FROM (
-            SELECT q.query_id, q.qv, q.qnrm, c.cent_id,
-              row_number() OVER (PARTITION BY q.query_id
-                ORDER BY ${oDot("q.qv", "c.cv")} / (q.qnrm * c.cnrm) DESC, c.cent_id) AS crk
-            FROM q CROSS JOIN cents c) WHERE crk <= 2)
-          SELECT query_id, cast(rk AS INT) AS rk, neighbor_id, round(sim, 6) AS sim FROM (
-            SELECT p.query_id, a.vec_id AS neighbor_id,
-              ${oDot("a.embedding", "p.qv")} / (a.nrm * p.qnrm) AS sim,
-              row_number() OVER (PARTITION BY p.query_id
-                ORDER BY ${oDot("a.embedding", "p.qv")} / (a.nrm * p.qnrm) DESC, a.vec_id) AS rk
-            FROM probes p JOIN assign a ON p.cent_id = a.cent_id
-            WHERE a.vec_id <> p.query_id) WHERE rk <= 5""",
+          sig AS (SELECT vec_id, embedding, nrm, CAST($terms AS BIGINT) AS sig FROM e),
+          bands AS ($bandSelects),
+          cands AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+          SELECT id_a, id_b, round(sim, 6) AS sim FROM (
+            SELECT id_a, id_b,
+              ${oDot("sa.embedding", "sb.embedding")} / (sa.nrm * sb.nrm) AS sim
+            FROM cands JOIN e sa ON id_a = sa.vec_id JOIN e sb ON id_b = sb.vec_id)
+          WHERE sim >= 0.4"""
+    },
 
     "q_text_stats" ->
       s"""SELECT doc_id,

