@@ -15,7 +15,7 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
-  private def newSession(cores: Int): SparkSession = {
+  private def newSession(cores: Int, coalesce: Boolean = false): SparkSession = {
     // 4× cores shuffle partitions: several task waves (amortizes straggler
     // tails — the hot conversation's reducer), smaller per-task sorts. At
     // real scale the wave count is huge anyway; this keeps the small bench
@@ -25,9 +25,12 @@ object Bench {
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", (cores * mult).toString)
-      // keep the configured wave granularity (AQE would coalesce the small
-      // bench corpus back to ~1 wave per stage on the wide configuration)
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // scaling phase: keep the configured wave granularity (AQE would
+      // coalesce the small bench corpus back to ~1 wave per stage on the
+      // wide configuration). Query phase: DO coalesce — the operator
+      // queries are many small shuffles, and 128 fixed tasks per stage is
+      // pure scheduling overhead there (measured 2-3× on the dedup family)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", coalesce.toString)
       // smaller parquet row groups: N concurrent writers × 128MB buffered
       // row-group state made young-GC cost explode at high thread counts
       // (50s GC in the write stage at 8 threads vs 3s at 2)
@@ -134,7 +137,7 @@ object Bench {
     val results =
       if (skipQueries) Seq.empty[(String, Double)]
       else {
-        spark = newSession(cpus)
+        spark = newSession(cpus, coalesce = true)
         val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
           try fn(spark, sfDir).count()

