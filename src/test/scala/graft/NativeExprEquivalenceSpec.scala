@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.{ShingleFunctions => SF, TextFingerprint, TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native codegen expressions exist for speed; these specs pin that
+  * each one is VALUE-equivalent to the declarative (HOF / explode-groupBy)
+  * formulation it replaced — the formulation the DuckDB oracles mirror.
+  * Inputs come from the driver's own parquet tables, not synthetic toys.
+  */
+class NativeExprEquivalenceSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("shingles_f == array_distinct(transform(sequence...)) on all documents") {
+    SF.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("w", TF.tokens(col("text")))
+    val n = docs
+      .select(col("doc_id"),
+        SF.shinglesF(col("w")).as("native"),
+        TF.shinglesOfWords(col("w")).as("hof"))
+      .filter(not(col("native") === col("hof")))
+      .count()
+    assert(n == 0, s"$n docs diverge")
+  }
+
+  test("minhash_sig == explode -> fingerprint -> groupBy(min x16) on all documents") {
+    SF.register(spark)
+    TextFingerprint.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("w", TF.tokens(col("text")))
+    val native = docs.select(col("doc_id"), SF.minhashSig(col("w")).as("sig"))
+    val viaAgg = {
+      val sh = docs
+        .select(col("doc_id"), explode(TF.shinglesOfWords(col("w"))).as("shingle"))
+        .withColumn("fp", call_function("text_fingerprint", col("shingle")))
+      val aggs = (0 until 16).map(k => min(TF.universalHash(col("fp"), k)).as(s"h$k"))
+      sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    }
+    // compare positionally by doc_id
+    val nMap = native.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val aRows = viaAgg.collect()
+    assert(aRows.length == nMap.size)
+    aRows.foreach { r =>
+      val id = r.getLong(0)
+      val agg = (1 to 16).map(i => r.getLong(i))
+      assert(nMap(id) == agg, s"doc $id")
+    }
+  }
+
+  test("sqdist_l == aggregate(zip_with((x-y)^2)) on quantized embeddings") {
+    VF.register(spark)
+    val qz = spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("qv", transform(col("embedding"), x => floor(x.cast("double") * 1000000.0 + lit(0.5))))
+      .select(col("vec_id"), col("qv"))
+    val pairs = qz.as("a").join(qz.as("b"), col("a.vec_id") + 1 === col("b.vec_id"))
+    val hof = aggregate(zip_with(col("a.qv"), col("b.qv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val n = pairs
+      .select(VF.sqDistL(col("a.qv"), col("b.qv")).as("native"), hof.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(n == 0)
+  }
+
+  test("sorted_pairs enumerates exactly the a<b pairs of a list") {
+    SF.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, Seq(5L, 2L, 9L, 2L + 1)), (2L, Seq(7L)), (3L, Seq.empty[Long]))
+      .toDF("k", "ids")
+    val out = df.select(col("k"), SF.sortedPairs(col("ids")).as("p")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (p.getLong(0), p.getLong(1)))).toMap
+    assert(out(1L).toSet == Set((2L, 3L), (2L, 5L), (2L, 9L), (3L, 5L), (3L, 9L), (5L, 9L)))
+    assert(out(1L).forall { case (a, b) => a < b })
+    assert(out(2L).isEmpty && out(3L).isEmpty)
+  }
+
+  test("plane_sig is deterministic and balanced-ish across the corpus") {
+    VF.register(spark)
+    val sigs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), VF.planeSig(col("embedding")).as("sig"))
+    val a = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // each of the 32 bits should split the corpus non-degenerately
+    (0 until 32).foreach { j =>
+      val ones = a.values.count(s => ((s >> j) & 1L) == 1L)
+      assert(ones > 0 && ones < a.size, s"bit $j degenerate: $ones/${a.size}")
+    }
+  }
+}
