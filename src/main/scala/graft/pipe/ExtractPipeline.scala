@@ -11,13 +11,20 @@ import org.apache.spark.util.LongAccumulator
   * scan → cheap gates (BEFORE the kernel — Catalyst cannot reorder filters
   * through an opaque mapPartitions, so we author them first, the same
   * cheap-predicate-first discipline as the reference's blur gate
-  * `/root/reference/src/cmnd/main.py:57-60`) → salted repartition (skew) →
-  * mapPartitions kernel (per-partition batched, broadcast config, lazy
+  * `/root/reference/src/cmnd/main.py:57-60`) → mapPartitions kernel FUSED
+  * onto the scan partitions (per-partition batched, broadcast config, lazy
   * per-executor init ≈ per-daemon model load `template.py:73`) → stable
   * (conv_id, turn_idx) order restore → sink.
   *
-  * Exactly two exchanges: the salted fan-out and the order-restoring
-  * repartition — matching the physical plan target in SURVEY §4.
+  * Exactly ONE exchange in the default configuration: the order-restoring
+  * repartition by conv_id. Skew is handled structurally, not by a salt
+  * shuffle: scan splits are size-bounded (`files.maxPartitionBytes`) and
+  * per-turn kernel cost is bounded (maxTextLen gate), so no conversation
+  * can concentrate more than one split's worth of kernel work in one task —
+  * and the raw payloads never cross the network (measured: the fused plan
+  * does ~1/3 the task-time of the salted one and runs 2.5× faster at 16
+  * cores). `cfg.saltBuckets > 0` re-enables the salted pre-kernel exchange
+  * for cost-skewed kernels (BENCH/SKEW.md carries both ablations).
   */
 object ExtractPipeline {
 

@@ -22,9 +22,19 @@ object Salting {
     pmod(hash(turnIdx), lit(saltBuckets))
 
   /** Salted repartition: key-based enough for locality, salted enough that a
-    * hot conversation fans out over `saltBuckets` tasks. */
+    * hot conversation fans out over `saltBuckets` tasks.
+    *
+    * `saltBuckets <= 0` = NO pre-kernel exchange at all: the kernel runs
+    * fused onto the scan partitions. For a per-row kernel whose cost is
+    * bounded per row (maxTextLen gate), scan splits are size-bounded by
+    * `spark.sql.files.maxPartitionBytes`, so per-task kernel work is bounded
+    * BY CONSTRUCTION — no conversation, however hot, can concentrate more
+    * than one split's bytes in one task. That both defuses skew and removes
+    * a full shuffle of the raw payloads; keep salting (> 0) for kernels
+    * whose per-row cost is unbounded/cost-skewed. */
   def salted[T](ds: Dataset[T], saltBuckets: Int): Dataset[T] =
-    ds.repartition(col("conv_id"), saltCol(col("turn_idx"), saltBuckets))
+    if (saltBuckets <= 0) ds
+    else ds.repartition(col("conv_id"), saltCol(col("turn_idx"), saltBuckets))
 
   def salted[T](ds: Dataset[T], numPartitions: Int, saltBuckets: Int): Dataset[T] =
     ds.repartition(numPartitions, col("conv_id"), saltCol(col("turn_idx"), saltBuckets))

@@ -11,9 +11,15 @@ object DiagBench {
   def main(args: Array[String]): Unit = {
     val cores = if (args.nonEmpty) args(0).toInt else 16
     val corpus = if (args.length > 1) args(1) else "/tmp/graft_bench_corpus_2000000_50000"
+    // mirror graft.Bench's scaling-phase session exactly
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+      .config("spark.sql.shuffle.partitions", (cores * 4).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.hadoop.parquet.block.size", (32 * 1024 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SCAN_BYTES", (128 * 1024 * 1024).toString))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
@@ -32,11 +38,13 @@ object DiagBench {
     })
 
     // warm
+    val salt = sys.env.getOrElse("SPARK_GRAFT_SALT", "16").toInt
+    val cfg = graft.model.ExtractConfig.default.copy(saltBuckets = salt)
     val t = spark.read.parquet(corpus).as[graft.model.Turn]
-    graft.pipe.ExtractPipeline.run(spark, t).write.mode("overwrite").parquet("/tmp/diag_out")
+    graft.pipe.ExtractPipeline.run(spark, t, cfg).write.mode("overwrite").parquet("/tmp/diag_out")
     stages.clear()
     val t0 = System.nanoTime()
-    graft.pipe.ExtractPipeline.run(spark, t).write.mode("overwrite").parquet("/tmp/diag_out")
+    graft.pipe.ExtractPipeline.run(spark, t, cfg).write.mode("overwrite").parquet("/tmp/diag_out")
     val sec = (System.nanoTime() - t0) / 1e9
     Thread.sleep(500)
     println(f"TOTAL $sec%.2f s at $cores cores")

@@ -61,14 +61,15 @@ class PipelineE2ESpec extends AnyFunSuite with SparkTestBase {
     assert(convToPartition.size == nConvs)
   }
 
-  test("salt invariance: extraction result identical for salt 1, 4, 32") {
+  test("salt invariance: extraction result identical for fused (0) and salt 1, 4, 32") {
     val turns = TranscriptGen.dataset(spark, seed, 40, 100, partitions = 3)
     def resultSet(salt: Int): Set[ExtractedTurn] =
       ExtractPipeline.run(spark, turns, ExtractConfig.default.copy(saltBuckets = salt))
         .collect().toSet
-    val r1 = resultSet(1)
-    assert(resultSet(4) == r1)
-    assert(resultSet(32) == r1)
+    val r0 = resultSet(0) // default: kernel fused onto scan partitions
+    assert(resultSet(1) == r0)
+    assert(resultSet(4) == r0)
+    assert(resultSet(32) == r0)
   }
 
   test("gates drop pathological payloads before the kernel") {

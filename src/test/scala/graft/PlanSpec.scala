@@ -7,8 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Physical-plan discipline (the "would this survive 100×?" checks):
   * filters must reach the parquet scan, small dimensions must broadcast,
   * aggregates must have a map-side partial phase, and the flagship pipeline
-  * must contain exactly its two intended exchanges. These assertions keep
-  * future edits from silently regressing the plan shape.
+  * must contain exactly its one intended exchange (order restore; the
+  * kernel fuses onto the scan). These assertions keep future edits from
+  * silently regressing the plan shape.
   */
 class PlanSpec extends AnyFunSuite with SparkTestBase {
 
@@ -66,9 +67,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       || p.contains("BroadcastHashJoin"), p)
   }
 
-  test("flagship pipeline has exactly two exchanges (salt fan-out + order restore)") {
+  test("flagship pipeline has exactly ONE exchange (order restore; kernel fused on scan)") {
     val ds = ExtractPipeline.run(spark,
       TranscriptGen.dataset(spark, 42L, nConvs = 10, hotBase = 20))
+    val plan = ds.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges in:\n$plan")
+  }
+
+  test("salted configuration adds exactly the salt fan-out exchange") {
+    val ds = ExtractPipeline.run(spark,
+      TranscriptGen.dataset(spark, 42L, nConvs = 10, hotBase = 20),
+      graft.model.ExtractConfig.default.copy(saltBuckets = 16))
     val plan = ds.queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges in:\n$plan")
