@@ -94,6 +94,20 @@ object ExtractPipeline {
     ds.repartition(col("conv_id"))
       .sortWithinPartitions(col("conv_id"), col("turn_idx"))
 
+  /** Wrap an extraction output with `Dataset.observe` metrics (name
+    * "graft_extract": turnsOut + blocksKept/blocksDropped/charsEmitted
+    * sums). Unlike the accumulator [[Metrics]], observed metrics are
+    * exactly-once per action (no task-retry double counting) and surface
+    * through the standard `QueryExecutionListener` channel; placed on the
+    * OUTPUT so no Filter/scan pushdown is blocked (a CollectMetrics node
+    * between scan and gates would pin the gates above the scan). */
+  def observed(ds: Dataset[ExtractedTurn]): Dataset[ExtractedTurn] =
+    ds.observe("graft_extract",
+      count(lit(1)).as("turnsOut"),
+      sum(col("blocksKept")).as("blocksKept"),
+      sum(col("blocksDropped")).as("blocksDropped"),
+      sum(col("charsEmitted")).as("charsEmitted"))
+
   /** End-to-end: gates → salt → kernel → order restore. */
   def run(
       spark: SparkSession,
