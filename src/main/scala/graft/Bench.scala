@@ -36,11 +36,12 @@ object Bench {
       // (50s GC in the write stage at 8 threads vs 3s at 2)
       .config("spark.hadoop.parquet.block.size", (32 * 1024 * 1024).toString)
       // finer scan splits than the 128MB default: a 128MB scan task holds
-      // large decompressed row batches while feeding the exchange — at 16
-      // threads the scan stage spent 120s in GC (28s at 32MB splits);
-      // 64MB balances that against per-task overhead at the narrow level
+      // large decompressed row batches while feeding the downstream stage —
+      // at 16 threads the scan stage spent 120s in GC (vs 6-28s at finer
+      // splits). 32MB measured best overall (A/B'd 16/32/64/128MB at both
+      // parallelism levels): ~65 scan tasks = 4 clean waves at 16 cores
       .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_SCAN_BYTES", (64 * 1024 * 1024).toString))
+        sys.env.getOrElse("SPARK_GRAFT_SCAN_BYTES", (32 * 1024 * 1024).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
