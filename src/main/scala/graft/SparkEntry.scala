@@ -67,6 +67,30 @@ object SparkEntry {
       .select(col("doc_id") +: (0 until minhashK).map(k => col("sig").getItem(k).as(s"h$k")): _*)
   }
 
+  /** 64-bit SimHash signatures (doc_id, simhash): per-word fingerprints,
+    * 4 universal hashes × 16 bits each (the hash family yields 31-bit
+    * values, so one hash can't supply 64 bits), signed bit-vote sums,
+    * sign → bit. Bit 63's weight is Long.MinValue so the signature is the
+    * ordinary signed-two's-complement value on both engines. Shared by
+    * q_simhash and q_simhash_pairs so signature semantics can't drift. */
+  private def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    TextFingerprint.register(s)
+    val wf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(TF.tokens(col("text")))).as("w"))
+      .withColumn("fp", call_function("text_fingerprint", col("w")))
+    val withHashes = (0 until 4).foldLeft(wf) { (d, k) =>
+      d.withColumn(s"h$k", TF.universalHash(col("fp"), k))
+    }
+    val sums = (0 until 64).map(j =>
+      sum(shiftright(col(s"h${j / 16}"), j % 16).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j"))
+    withHashes.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map { j =>
+          val w = if (j == 63) Long.MinValue else 1L << j
+          when(col(s"s$j") > 0, lit(w)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -------------------------------------------------- aggregates (A)
@@ -315,17 +339,31 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
     }),
 
-    "q_simhash" -> ((s, dir) => {
-      TextFingerprint.register(s)
-      val wf = t(s, dir, "documents")
-        .select(col("doc_id"), explode(array_distinct(TF.tokens(col("text")))).as("w"))
-        .withColumn("h", TF.universalHash(call_function("text_fingerprint", col("w")), 0))
-      val sums = (0 until 16).map(j =>
-        sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j"))
-      wf.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"),
-          (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash"))
+    "q_simhash" -> ((s, dir) => simhashSignatures(s, dir)),
+
+    "q_simhash_pairs" -> ((s, dir) => {
+      // Hamming near-dup via SimHash banding — EXACT by pigeonhole: 4 bands
+      // of 16 bits, so any pair at hamming distance ≤ 3 has at least one
+      // identical band and is generated by the band equi-join (no all-pairs
+      // join anywhere; the oracle's all-pairs form returns the same rows).
+      // 65536 buckets per band keeps candidate lists short at scale.
+      val sig = simhashSignatures(s, dir)
+      val bandStructs = array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L)).as("key"))
+      }: _*)
+      val bands = sig.select(col("doc_id"), explode(bandStructs).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cands = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+      cands
+        .join(sig.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("id_b") === col("sb.doc_id"))
+        .withColumn("hamming", bit_count(col("sa.simhash").bitwiseXOR(col("sb.simhash"))))
+        .filter(col("hamming") <= 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
     }),
 
     "q_dedup_embed_cosine" -> ((s, dir) => {
@@ -579,6 +617,24 @@ object SparkEntry {
 
   private val oStop = "['the','a','an','and','or','of','to','in','is','it']"
 
+  /** Shared simhash-signature CTEs (ends with `simsig(doc_id, simhash)`) —
+    * same 64-bit, 4-hash construction as [[simhashSignatures]] (bit 63
+    * weighted Long.MinValue; the sum runs in INT128 and the cast to BIGINT
+    * is exact because the signed total is in range). */
+  private val oSimhashCtes = {
+    val hashes = (0 until 4)
+      .map(k => s"(fp*${TF.hashA(k)} + ${TF.hashB(k)}) % ${TF.HashP} AS h$k").mkString(", ")
+    val bits = (0 until 64).map { j =>
+      val w = if (j == 63) Long.MinValue else 1L << j
+      s"(CASE WHEN sum(2*((h${j / 16}>>${j % 16})&1) - 1) > 0 THEN $w ELSE 0 END)"
+    }.mkString(" + ")
+    s"""wds AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), ' +'))) AS w
+          FROM documents),
+        f AS (SELECT doc_id, ${oFp("w")} AS fp FROM wds),
+        hs AS (SELECT doc_id, $hashes FROM f),
+        simsig AS (SELECT doc_id, cast($bits AS BIGINT) AS simhash FROM hs GROUP BY doc_id)"""
+  }
+
   /** q_knn_ivf oracle: Lloyd's k-means unrolled to [[IvfIters]] iterations in
     * scaled-integer space — every training step (sum, floored mean, squared
     * distance, argmin with cent_id tie-break) is exact integer/IEEE-double
@@ -777,14 +833,18 @@ object SparkEntry {
           FROM cands JOIN shs sa ON id_a = sa.doc_id JOIN shs sb ON id_b = sb.doc_id"""
     },
 
-    "q_simhash" -> {
-      val bits = (0 until 16).map(j =>
-        s"(CASE WHEN sum(2*((h>>$j)&1) - 1) > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      s"""WITH wds AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), ' +'))) AS w
-            FROM documents),
-          f AS (SELECT doc_id, (${oFp("w")}*${TF.hashA(0)} + ${TF.hashB(0)}) % ${TF.HashP} AS h FROM wds)
-          SELECT doc_id, cast($bits AS BIGINT) AS simhash FROM f GROUP BY doc_id"""
-    },
+    "q_simhash" ->
+      s"""WITH $oSimhashCtes
+          SELECT doc_id, simhash FROM simsig""",
+
+    "q_simhash_pairs" ->
+      // all-pairs form: exact-equal to the Spark banded plan by pigeonhole
+      // (hamming ≤ 3 over 4 bands ⇒ ≥ 1 band identical)
+      s"""WITH $oSimhashCtes
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            cast(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          FROM simsig a JOIN simsig b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
 
     "q_dedup_embed_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${oNorm("embedding")} AS nrm FROM embeddings)

@@ -56,6 +56,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("hashpartitioning") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("simhash near-dup pairs: banded equi-join, no all-pairs join; and the " +
+    "banded plan equals the all-pairs form (pigeonhole over 4×16-bit bands)") {
+    val p = planOf("q_simhash_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning") || p.contains("BroadcastHashJoin"), p)
+    // exactness: hamming ≤ 3 over 4 bands ⇒ ≥ 1 band identical, so banding
+    // loses nothing vs brute force
+    import org.apache.spark.sql.functions._
+    val banded = SparkEntry.queries("q_simhash_pairs")(spark, sf)
+      .select("id_a", "id_b", "hamming").collect().map(_.toSeq).toSet
+    val sig = SparkEntry.queries("q_simhash")(spark, sf)
+    val brute = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("hamming") <= 3)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("hamming"))
+      .collect().map(_.toSeq).toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+    assert(brute.nonEmpty)
+  }
+
   test("trained IVF search joins on centroid id, no full cross join of vectors") {
     val p = planOf("q_knn_ivf")
     assert(!p.contains("CartesianProduct"), p)
