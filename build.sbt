@@ -31,8 +31,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // at high thread counts (measured ~15% slower extraction at 16 threads
   // with 48g). ParallelGC: ~15% faster than G1 on this batch profile.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Fixed young gen at half the heap + GC threads capped at the physical
+  // core count. ParallelGC's adaptive sizing kept the young gen far too
+  // small for this allocation profile (scan+kernel garbage dies young):
+  // measured per-stage at 16 threads, GC fell 66s→6s of task time and the
+  // full job went ~35s→~21s; the 4-core level gained similarly (81s→52s).
+  // Default GC threads on this 32-logical-cpu box is 23 — oversubscribes
+  // the ~16 physical cores during a stop-the-world young collection.
+  s"-Xmn${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g").stripSuffix("g").toInt / 2}g",
+  "-XX:ParallelGCThreads=16",
   sys.env.getOrElse("SPARK_GRAFT_GC", "parallel") match {
     case "g1" => "-XX:+UseG1GC"
     case _    => "-XX:+UseParallelGC"
   },
-) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").map(_.split(" ").toSeq).getOrElse(Seq.empty)
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").map(_.split(" ").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

@@ -120,7 +120,7 @@ object Bench {
     // JIT C2 compilation only converges after a FULL-corpus run (small warm
     // corpora left the first measured configuration 40-70% slower in every
     // ordering we tried), so: one untimed full-corpus warm run, then
-    // interleaved small/big/small/big measurements, best-of-2 per level.
+    // interleaved small/big/small/big measurements, best-of-3 per level.
     val bigCpus = smallCpus * 4
     val benchOut = "/tmp/graft_bench_out"
     def runOnce(cores: Int): Double = {

@@ -49,6 +49,11 @@ object SparkEntry {
     * (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3). */
   private val JaccardMaxDf = 16
 
+  /** HLL bias-correction constant α_m·m² for m = 256 (Flajolet et al. 2007).
+    * Computed once in Scala and interpolated into the DuckDB oracle as its
+    * shortest-round-trip decimal, so both engines hold the identical double. */
+  private val HllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+
   /** IVF coarse-quantizer training constants (deterministic Lloyd's k-means
     * over scaled-integer vectors; see q_knn_ivf). */
   private val IvfK = 16
@@ -409,6 +414,42 @@ object SparkEntry {
           VF.dotF(col("sa.embedding"), col("sb.embedding")) / (col("sa.nrm") * col("sb.nrm")))
         .filter(col("sim") >= 0.4)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+    }),
+
+    "q_hll_distinct" -> ((s, dir) => {
+      // HyperLogLog cardinality sketch (m = 256 registers) over the
+      // per-language distinct-shingle count — the 100-TB "how many
+      // distinct?" op. The shuffle carries at most 256 (lang, register,
+      // max-ρ) rows per language (mergeable max-agg with a map-side
+      // partial), never the values themselves. Cross-engine EXACT
+      // construction: ρ is trailing zeros + 1 capped at 24, every 1/2^M
+      // term is a dyadic rational with exponent ≥ -24 and the register sum
+      // is < 256, so the double sum is exact in ANY accumulation order; the
+      // estimate is then a single deterministic IEEE expression. n_exact
+      // (the exact distinct count) rides along as the quality twin.
+      TextFingerprint.register(s)
+      SF.register(s)
+      val words = t(s, dir, "documents")
+        .select(col("lang"),
+          explode(SF.shinglesF(TF.tokens(col("text")))).as("w"))
+      val regs = words
+        .withColumn("h", TF.universalHash(call_function("text_fingerprint", col("w")), 0))
+        .withColumn("reg", col("h").bitwiseAND(lit(255L)))
+        .withColumn("wb", shiftright(col("h"), 8))
+        .withColumn("rho",
+          when(col("wb") === 0, lit(24))
+            .otherwise((log2(col("wb").bitwiseAND(-col("wb"))) + 1).cast("int")))
+        .groupBy(col("lang"), col("reg")).agg(max(col("rho")).as("mreg"))
+      val est = regs.groupBy(col("lang")).agg(
+          (sum(lit(1.0) / expr("shiftleft(cast(1 as bigint), mreg)"))
+            + (lit(256) - count(lit(1)))).as("sum_exp"),
+          (lit(256) - count(lit(1))).as("zeros"))
+        .withColumn("raw", lit(HllAlphaM2) / col("sum_exp"))
+        .withColumn("hll_est",
+          round(when(col("raw") <= 640 && col("zeros") > 0,
+            lit(256.0) * log(lit(256.0) / col("zeros"))).otherwise(col("raw")), 1))
+      val exact = words.groupBy(col("lang")).agg(countDistinct(col("w")).as("n_exact"))
+      est.join(exact, "lang").select(col("lang"), col("hll_est"), col("n_exact"))
     }),
 
     // -------------------------------------------------- similarity search
@@ -853,6 +894,27 @@ object SparkEntry {
               ${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
             FROM e a JOIN e b ON a.vec_id < b.vec_id)
           WHERE sim >= 0.4""",
+
+    "q_hll_distinct" ->
+      s"""WITH wds AS (SELECT lang, unnest($oShingles) AS w
+            FROM (SELECT lang, string_split_regex(trim(text), ' +') AS w FROM documents)),
+          hh AS (SELECT lang, w, (${oFp("w")}*${TF.hashA(0)} + ${TF.hashB(0)}) % ${TF.HashP} AS h FROM wds),
+          r AS (SELECT lang, h & 255 AS reg,
+                 CASE WHEN (h >> 8) = 0 THEN 24
+                      ELSE cast(log2((h >> 8) & -(h >> 8)) AS INT) + 1 END AS rho
+                FROM hh),
+          regs AS (SELECT lang, reg, max(rho) AS mreg FROM r GROUP BY 1, 2),
+          prof AS (SELECT lang,
+                    sum(1.0 / (1::BIGINT << mreg)) + (256 - count(*)) AS sum_exp,
+                    256 - count(*) AS zeros
+                   FROM regs GROUP BY 1),
+          est AS (SELECT lang, $HllAlphaM2 / sum_exp AS raw, zeros FROM prof),
+          ex AS (SELECT lang, count(DISTINCT w) AS n_exact FROM wds GROUP BY 1)
+          SELECT est.lang,
+            round(CASE WHEN raw <= 640 AND zeros > 0
+                       THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 1) AS hll_est,
+            n_exact
+          FROM est JOIN ex ON est.lang = ex.lang""",
 
     "q_knn_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${oNorm("embedding")} AS nrm FROM embeddings)
