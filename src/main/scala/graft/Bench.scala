@@ -35,13 +35,20 @@ object Bench {
       // row-group state made young-GC cost explode at high thread counts
       // (50s GC in the write stage at 8 threads vs 3s at 2)
       .config("spark.hadoop.parquet.block.size", (32 * 1024 * 1024).toString)
-      // finer scan splits than the 128MB default: a 128MB scan task holds
-      // large decompressed row batches while feeding the downstream stage —
-      // at 16 threads the scan stage spent 120s in GC (vs 6-28s at finer
-      // splits). 32MB measured best overall (A/B'd 16/32/64/128MB at both
-      // parallelism levels): ~65 scan tasks = 4 clean waves at 16 cores
+      // scan splits: back to Spark's stock 128MB. The earlier 32MB override
+      // compensated for ParallelGC's ADAPTIVE young-gen sizing (large scan
+      // tasks drove 120s of GC at 16 threads); with the fixed 16g young gen
+      // (build.sbt) that pathology is gone and 128MB wins at BOTH
+      // parallelism levels (re-A/B'd 32/64/128MB: stage-4 task time flat
+      // ~120s from 4→16 threads at 128MB — no per-core inflation left)
       .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_SCAN_BYTES", (32 * 1024 * 1024).toString))
+        sys.env.getOrElse("SPARK_GRAFT_SCAN_BYTES", (128 * 1024 * 1024).toString))
+      // 1 MB shuffle write buffers (stock 32 KB): each map task streams into
+      // 64 reducer segments through an LZ4 block stream, and 32 KB buffers
+      // mean tiny compression blocks + flush churn — measured 54 s → 1.9 s
+      // of summed shuffle-write time at 16 threads (BENCH/TUNING.md)
+      .config("spark.shuffle.file.buffer", "1m")
+      .config("spark.shuffle.unsafe.file.output.buffer", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

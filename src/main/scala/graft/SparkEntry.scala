@@ -452,6 +452,65 @@ object SparkEntry {
       est.join(exact, "lang").select(col("lang"), col("hll_est"), col("n_exact"))
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      // AS-OF join (operator Spark lacks natively): each purchase matched
+      // to the user's latest click at-or-before it. NOT a range join (which
+      // explodes to O(pairs-in-range)): tag both sides, union, ONE shuffle
+      // on user_id, and carry the last click forward with a running
+      // `last(_, ignoreNulls)` window — O(n log n) per user partition, the
+      // composition that survives 100 TB. Ties: (ts, side) ordering puts a
+      // click at equal ts BEFORE the purchase, i.e. `click.ts <= p.ts`
+      // semantics — exactly DuckDB's ASOF JOIN ON b.ts <= a.ts.
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"), lit(0).as("side"),
+          lit(null).cast("long").as("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"), lit(1).as("side"),
+          col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("click_ts",
+          last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+        .withColumn("click_value",
+          last(when(col("side") === 0, col("value")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"), col("click_ts"), col("click_value"))
+    }),
+
+    "q_cms_heavyhitters" -> ((s, dir) => {
+      // CountMin-sketch heavy hitters (d = 4 hash rows × w = 256 buckets)
+      // over token frequencies: the sketch side aggregates the stream into
+      // 1024 integer cells (mergeable counts, map-side partial — at 100 TB
+      // the only thing shuffled is the 1024-cell sketch per partition),
+      // then the exact top-20 tokens are point-queried against it
+      // (estimate = min over the 4 row cells; ≥ exact by construction, and
+      // within the ε·N = N/w CountMin bound of it for true heavy hitters).
+      // All-integer arithmetic: bit-identical in the DuckDB oracle, which
+      // carries the exact counts (n_exact) as the quality twin.
+      TextFingerprint.register(s)
+      val toks = t(s, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("w"))
+        .withColumn("fp", call_function("text_fingerprint", col("w")))
+      val cellStructs = array((0 until 4).map { k =>
+        struct(lit(k).as("row"),
+          TF.universalHash(col("fp"), k).bitwiseAND(lit(255L)).as("bucket"))
+      }: _*)
+      val cells = toks.select(explode(cellStructs).as("c"))
+        .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val winTop = Window.orderBy(col("n_exact").desc, col("w"))
+      val cands = toks.groupBy(col("w"), col("fp")).agg(count(lit(1)).as("n_exact"))
+        .withColumn("rk", row_number().over(winTop)).filter(col("rk") <= 20)
+      cands.select(col("w"), col("rk"), col("n_exact"), explode(cellStructs).as("c"))
+        .join(cells,
+          col("c.row") === cells("row") && col("c.bucket") === cells("bucket"))
+        .groupBy(col("w"), col("rk"), col("n_exact"))
+        .agg(min(col("cnt")).as("cms_est"))
+        .select(col("w").as("token"), col("rk"), col("cms_est"), col("n_exact"))
+    }),
+
     // -------------------------------------------------- similarity search
     "q_knn_cosine" -> ((s, dir) => {
       VF.register(s)
@@ -915,6 +974,31 @@ object SparkEntry {
                        THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 1) AS hll_est,
             n_exact
           FROM est JOIN ex ON est.lang = ex.lang""",
+
+    "q_asof_join" ->
+      // DuckDB's native ASOF JOIN is the oracle for the union+window
+      // composition (left join: purchases with no prior click keep NULLs)
+      """SELECT a.event_id, a.user_id, b.ts AS click_ts, b.value AS click_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+           ON a.user_id = b.user_id AND b.ts <= a.ts""",
+
+    "q_cms_heavyhitters" -> {
+      def bucket(k: Int) = s"((fp*${TF.hashA(k)} + ${TF.hashB(k)}) % ${TF.HashP}) & 255"
+      val rows = (0 until 4).map(k => s"SELECT $k AS row, ${bucket(k)} AS bucket FROM f")
+        .mkString(" UNION ALL ")
+      val cellJoins = (0 until 4).map(k =>
+        s"JOIN cells c$k ON c$k.row = $k AND c$k.bucket = ${bucket(k)}").mkString(" ")
+      s"""WITH toks AS (SELECT unnest(string_split_regex(trim(text), ' +')) AS w FROM documents),
+          f AS (SELECT w, ${oFp("w")} AS fp FROM toks),
+          cells AS (SELECT row, bucket, count(*) AS cnt FROM ($rows) GROUP BY 1, 2),
+          cands AS (SELECT w, fp, count(*) AS n_exact FROM f GROUP BY 1, 2),
+          top AS (SELECT w, fp, n_exact,
+                   cast(row_number() OVER (ORDER BY n_exact DESC, w) AS INT) AS rk
+                  FROM cands QUALIFY rk <= 20)
+          SELECT w AS token, rk, least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) AS cms_est, n_exact
+          FROM top $cellJoins"""
+    },
 
     "q_knn_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${oNorm("embedding")} AS nrm FROM embeddings)

@@ -20,20 +20,28 @@ object DiagBench {
       .config("spark.hadoop.parquet.block.size", (32 * 1024 * 1024).toString)
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_SCAN_BYTES", (128 * 1024 * 1024).toString))
+      .config("spark.shuffle.file.buffer",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BUF", "1m"))
+      .config("spark.shuffle.unsafe.file.output.buffer",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BUF", "1m"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val stages = ArrayBuffer.empty[(Int, String, Long, Long, Long, Int)]
+    val stages = ArrayBuffer.empty[String]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
-        val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
-        val taskTime = si.taskMetrics.executorRunTime
-        stages += ((si.stageId, si.name.take(60), wall, taskTime,
-          si.taskMetrics.jvmGCTime, si.numTasks))
+        val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
+        val m = si.taskMetrics
+        stages += f"stage ${si.stageId}%3d wall=$wall%7.2fs taskTime=${m.executorRunTime / 1000.0}%8.2fs " +
+          f"gc=${m.jvmGCTime / 1000.0}%6.2fs cpu=${m.executorCpuTime / 1e9}%8.2fs " +
+          f"serde=${(m.executorDeserializeTime + m.resultSerializationTime) / 1000.0}%6.2fs " +
+          f"fetchWait=${m.shuffleReadMetrics.fetchWaitTime / 1000.0}%6.2fs " +
+          f"shWrite=${m.shuffleWriteMetrics.writeTime / 1e9}%6.2fs " +
+          f"spill=${m.memoryBytesSpilled / 1e9}%.2fGB tasks=${si.numTasks}%4d"
       }
     })
 
@@ -48,9 +56,7 @@ object DiagBench {
     val sec = (System.nanoTime() - t0) / 1e9
     Thread.sleep(500)
     println(f"TOTAL $sec%.2f s at $cores cores")
-    stages.sortBy(_._1).foreach { case (id, name, wall, tt, gc, n) =>
-      println(f"stage $id%3d wall=${wall / 1000.0}%7.2fs taskTime=${tt / 1000.0}%8.2fs gc=${gc / 1000.0}%6.2fs tasks=$n%4d  $name")
-    }
+    stages.sorted.foreach(println)
     spark.stop()
   }
 }
