@@ -58,16 +58,17 @@ object Bench {
   }
 
   /** Host calibration: per-core throughput retention at `cores` concurrent
-    * workers vs 1, on a pure-CPU loop (no allocation, no shared state).
-    * The sandbox VM loses 20-40% per-core throughput at wide parallelism
-    * when co-tenants are busy; this contextualizes each efficiency sample
-    * (a job can't scale better than the silicon under it that minute). */
-  private def hostRetention(cores: Int): Double = {
-    def burn(): Long = {
-      var x = 0x9E3779B97F4A7C15L; var i = 0
-      while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-      x
-    }
+    * workers vs 1. Two probes, because the job loses per-core throughput to
+    * two different ceilings that a real cluster would NOT share:
+    *  - pure-CPU (register-only xorshift): co-tenant noise / clock effects;
+    *  - memory-streaming (each thread sweeps a private 64 MB array):
+    *    the single box's shared memory bus + L3 — the dominant ceiling for
+    *    this scan/shuffle-bound job. On a real N→4N EXECUTOR scale-out the
+    *    added executors bring their own memory subsystems, so the
+    *    bandwidth-adjusted efficiency is the cluster-translatable number.
+    * The sandbox VM loses 20-40% per-core at wide parallelism when
+    * co-tenants are busy; these contextualize each efficiency sample. */
+  private def retention(cores: Int, burn: () => Long): Double = {
     def wall(n: Int): Double = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
       val t0 = System.nanoTime()
@@ -83,6 +84,26 @@ object Bench {
     val tN = math.min(wall(cores), wall(cores))
     t1 / tN
   }
+
+  private def hostRetention(cores: Int): Double = retention(cores, () => {
+    var x = 0x9E3779B97F4A7C15L; var i = 0
+    while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    x
+  })
+
+  private val memProbeArrays = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long](8 * 1024 * 1024) // 64 MB
+  }
+  private def memRetention(cores: Int): Double = retention(cores, () => {
+    val a = memProbeArrays.get()
+    var pass = 0; var x = 0L
+    while (pass < 6) { // 6 × 64 MB read-modify-write sweeps
+      var i = 0
+      while (i < a.length) { a(i) = a(i) * 6364136223846793005L + 1442695040888963407L; i += 1 }
+      x ^= a((pass * 131071) & (a.length - 1)); pass += 1
+    }
+    x
+  })
 
   private def deleteRecursively(p: java.io.File): Unit = {
     if (p.isDirectory) p.listFiles().foreach(deleteRecursively)
@@ -175,6 +196,7 @@ object Bench {
     val hostBig = hostRetention(bigCpus)
     val hostSmall = hostRetention(smallCpus)
     val hostCeiling = hostBig / math.max(1e-9, hostSmall)
+    val memCeiling = memRetention(bigCpus) / math.max(1e-9, memRetention(smallCpus))
 
     def f(d: Double): String = "%.3f".formatLocal(java.util.Locale.US, d)
     val qs = results.map { case (k, v) =>
@@ -186,7 +208,9 @@ object Bench {
         s""""cores_4n":$bigCpus,"sec_4n":${f(secBig)},"tps_4n":${f(tpsBig)},""" +
         s""""scaling_efficiency":${f(efficiency)},""" +
         s""""host_percore_retention_4n_vs_n":${f(hostCeiling)},""" +
-        s""""efficiency_vs_host_ceiling":${f(efficiency / math.max(1e-9, hostCeiling))}}"""
+        s""""efficiency_vs_host_ceiling":${f(efficiency / math.max(1e-9, hostCeiling))},""" +
+        s""""mem_bandwidth_retention_4n_vs_n":${f(memCeiling)},""" +
+        s""""efficiency_vs_mem_ceiling":${f(efficiency / math.max(1e-9, memCeiling))}}"""
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","extract":$extract}""")
@@ -198,7 +222,7 @@ object Bench {
     try {
       Files.createDirectories(Paths.get("BENCH"))
       val histLine =
-        s"""{"cores_n":$smallCpus,"sec_n":${f(secSmall)},"tps_n":${f(tpsSmall)},"cores_4n":$bigCpus,"sec_4n":${f(secBig)},"tps_4n":${f(tpsBig)},"efficiency":${f(efficiency)},"hostCeiling":${f(hostCeiling)},"turns":$turns}"""
+        s"""{"cores_n":$smallCpus,"sec_n":${f(secSmall)},"tps_n":${f(tpsSmall)},"cores_4n":$bigCpus,"sec_4n":${f(secBig)},"tps_4n":${f(tpsBig)},"efficiency":${f(efficiency)},"hostCeiling":${f(hostCeiling)},"memCeiling":${f(memCeiling)},"turns":$turns}"""
       val histPath = Paths.get("BENCH/history.jsonl")
       Files.writeString(histPath, histLine + "\n",
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
@@ -206,7 +230,7 @@ object Bench {
         Files.readAllLines(histPath)).asScala.takeRight(12)
         .map { l =>
           def grab(k: String) = s""""$k":([0-9.]+)""".r.findFirstMatchIn(l).map(_.group(1)).getOrElse("?")
-          s"| ${grab("cores_n")}→${grab("cores_4n")} | ${grab("tps_n")} | ${grab("tps_4n")} | ${grab("efficiency")} | ${grab("hostCeiling")} |"
+          s"| ${grab("cores_n")}→${grab("cores_4n")} | ${grab("tps_n")} | ${grab("tps_4n")} | ${grab("efficiency")} | ${grab("hostCeiling")} | ${grab("memCeiling")} |"
         }.mkString("\n")
       // history rows are substituted AFTER stripMargin — embedded rows start
       // with "| ", which stripMargin would otherwise strip as a margin
@@ -225,16 +249,18 @@ object Bench {
            || turns/sec @ 4N cores | ${f(tpsBig)} | local[$bigCpus], shuffle.partitions=${bigCpus * 4} |
            || wall sec @ N / 4N | ${f(secSmall)} / ${f(secBig)} | same input, untimed corpus materialization |
            || scaling efficiency (tps_4N/tps_N)/4 | ${f(efficiency)} | target ≥ 0.8 (north rule) |
-           || host per-core retention 4N vs N (pure-CPU calibration, same minute) | ${f(hostCeiling)} | the ceiling any job can scale to |
+           || host per-core retention 4N vs N (pure-CPU calibration, same minute) | ${f(hostCeiling)} | co-tenant/clock ceiling |
            || efficiency / host ceiling | ${f(efficiency / math.max(1e-9, hostCeiling))} | code-attributable scaling |
+           || memory-bandwidth per-core retention 4N vs N (64 MB/thread streaming probe, same minute) | ${f(memCeiling)} | the single box's shared-memory-bus ceiling — a real N→4N EXECUTOR scale-out adds memory subsystems and does not pay this |
+           || efficiency / bandwidth ceiling | ${f(efficiency / math.max(1e-9, memCeiling))} | cluster-translatable scaling |
            |
            |### Run history (best-of-3 per level per run; the sandbox VM's
            |multi-core throughput wobbles ±20-30% with noisy neighbors —
            |read the distribution; hostCeiling column contextualizes each
            |sample where recorded)
            |
-           || N→4N cores | tps@N | tps@4N | efficiency | host ceiling |
-           ||---|---|---|---|---|
+           || N→4N cores | tps@N | tps@4N | efficiency | host ceiling | mem ceiling |
+           ||---|---|---|---|---|---|
            |@HISTROWS@
            |
            |Kernel-only throughput (graft.tools.KernelBench, no Spark):

@@ -452,6 +452,30 @@ object SparkEntry {
       est.join(exact, "lang").select(col("lang"), col("hll_est"), col("n_exact"))
     }),
 
+    "q_rollup" -> ((s, dir) => {
+      // Hierarchical aggregation: ONE pass emits the (flag,status),
+      // (flag), and grand-total levels via Expand+Aggregate — no
+      // per-level rescans, partial-agg capable (the 100-TB shape for
+      // report cubes). lvl = grouping_id bitmask, identical encoding to
+      // DuckDB's grouping().
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("int").as("lvl"),
+          round(sum(col("l_quantity").cast("decimal(20,6)")), 2).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+
+    "q_pivot" -> ((s, dir) => {
+      // Pivot with an EXPLICIT bounded column set (the scale discipline:
+      // no values-discovery pre-pass, one shuffle, five conditional
+      // aggregates in a single Aggregate node).
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(round(sum(col("value").cast("decimal(20,6)")), 2).cast("double"))
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       // AS-OF join (operator Spark lacks natively): each purchase matched
       // to the user's latest click at-or-before it. NOT a range join (which
@@ -974,6 +998,20 @@ object SparkEntry {
                        THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 1) AS hll_est,
             n_exact
           FROM est JOIN ex ON est.lang = ex.lang""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+           cast(grouping(l_returnflag, l_linestatus) AS INT) AS lvl,
+           round(sum(cast(l_quantity AS DECIMAL(20,6))), 2)::DOUBLE AS sum_qty,
+           count(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "q_pivot" -> {
+      val cols = Seq("click", "view", "purchase", "signup", "error").map(t =>
+        s"round(sum(CASE WHEN event_type = '$t' THEN cast(value AS DECIMAL(20,6)) END), 2)::DOUBLE AS $t")
+        .mkString(", ")
+      s"SELECT user_id, $cols FROM events GROUP BY user_id"
+    },
 
     "q_asof_join" ->
       // DuckDB's native ASOF JOIN is the oracle for the union+window

@@ -39,6 +39,16 @@ object StreamingExtract {
       }
   }
 
+  /** Streaming exact dedup: drop turns whose (conv_id, turn_idx) was
+    * already seen, with state bounded by the watermark (a duplicate older
+    * than the lateness horizon can re-emit — the standard streaming-dedup
+    * contract; unbounded-state `dropDuplicates` is not a 100-TB shape).
+    * This is the stream twin of the batch `q_dedup_exact` family. */
+  def dedup(turns: Dataset[Turn]): Dataset[Turn] =
+    turns
+      .withWatermark("ts", "30 seconds")
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+
   /** Windowed extraction metrics (the streaming analog of the snapshot
     * manifest's per-partition metrics): 10-second event-time tumbling
     * windows per tool dialect, 30-second watermark for late turns. */

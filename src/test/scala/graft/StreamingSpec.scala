@@ -41,6 +41,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("streaming dedup (dropDuplicatesWithinWatermark) drops in-batch and cross-batch repeats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val turns = TranscriptGen.corpus(7L, nConvs = 10, hotBase = 20).toVector.map(_.turn)
+
+    val stream = MemoryStream[graft.model.Turn]
+    val q = StreamingExtract.dedup(stream.toDS()).writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    // batch 1: every turn sent twice (in-batch duplicates)
+    stream.addData(turns ++ turns)
+    q.processAllAvailable()
+    // batch 2: a prefix re-sent (cross-batch duplicates, inside the
+    // watermark because event times are unchanged)
+    stream.addData(turns.take(5))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("dedup_out")
+      .select("conv_id", "turn_idx").as[(String, Int)].collect()
+    assert(out.length == turns.size, s"expected ${turns.size} unique, got ${out.length}")
+    assert(out.toSet == turns.map(t => (t.conv_id, t.turn_idx)).toSet)
+  }
+
   test("stateful sessionizer (flatMapGroupsWithState) flushes on size, conserves metrics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
