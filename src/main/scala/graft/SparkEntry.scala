@@ -72,28 +72,18 @@ object SparkEntry {
       .select(col("doc_id") +: (0 until minhashK).map(k => col("sig").getItem(k).as(s"h$k")): _*)
   }
 
-  /** 64-bit SimHash signatures (doc_id, simhash): per-word fingerprints,
-    * 4 universal hashes × 16 bits each (the hash family yields 31-bit
-    * values, so one hash can't supply 64 bits), signed bit-vote sums,
-    * sign → bit. Bit 63's weight is Long.MinValue so the signature is the
-    * ordinary signed-two's-complement value on both engines. Shared by
-    * q_simhash and q_simhash_pairs so signature semantics can't drift. */
+  /** 64-bit SimHash signatures (doc_id, simhash): per-distinct-word
+    * fingerprints, 4 universal hashes × 16 bits each (the hash family
+    * yields 31-bit values, so one hash can't supply 64 bits), signed
+    * bit-vote sums, sign → bit — computed by the native one-pass
+    * `simhash_sig` codegen expression (no explode, NO SHUFFLE: the
+    * signature stage is a narrow map; NativeExprEquivalenceSpec pins it
+    * value-identical to the explode → 64-aggregate declarative form).
+    * Shared by q_simhash and q_simhash_pairs so semantics can't drift. */
   private def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    TextFingerprint.register(s)
-    val wf = t(s, dir, "documents")
-      .select(col("doc_id"), explode(array_distinct(TF.tokens(col("text")))).as("w"))
-      .withColumn("fp", call_function("text_fingerprint", col("w")))
-    val withHashes = (0 until 4).foldLeft(wf) { (d, k) =>
-      d.withColumn(s"h$k", TF.universalHash(col("fp"), k))
-    }
-    val sums = (0 until 64).map(j =>
-      sum(shiftright(col(s"h${j / 16}"), j % 16).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j"))
-    withHashes.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map { j =>
-          val w = if (j == 63) Long.MinValue else 1L << j
-          when(col(s"s$j") > 0, lit(w)).otherwise(lit(0L))
-        }.reduce(_ + _).as("simhash"))
+    SF.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"), SF.simhashSig(TF.tokens(col("text"))).as("simhash"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

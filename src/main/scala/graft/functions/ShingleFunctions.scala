@@ -112,6 +112,70 @@ object MinHashSigF {
   }
 }
 
+/** `simhash_sig(array<string>) -> long` — the 64-bit SimHash signature in
+  * ONE pass per document: for each DISTINCT word (first-occurrence set, the
+  * `array_distinct` semantics), fp = rolling poly fingerprint, 4 universal
+  * hashes supply 16 bits each (the hash family yields 31-bit values), each
+  * bit votes ±1 into its counter, sign → bit. Setting bit 63 in the long
+  * IS the Long.MinValue weight in two's complement, so the value is
+  * byte-identical to the explode → 64-aggregate → weighted-sum plan this
+  * replaces — but with no explode, no shuffle, and no 64-way aggregate.
+  */
+case class SimHashSigF(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashSigF.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashSigF.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSigF =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_sig"
+}
+
+object SimHashSigF {
+  private final val P = TextFunctions.HashP
+  private val A: Array[Long] = Array.tabulate(4)(TextFunctions.hashA)
+  private val B: Array[Long] = Array.tabulate(4)(TextFunctions.hashB)
+
+  def compute(words: ArrayData): Long = {
+    val n = words.numElements()
+    val seen = new java.util.HashSet[UTF8String]()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i)
+      if (seen.add(w)) {
+        val fp = TextFingerprint.compute(w)
+        var k = 0
+        while (k < 4) {
+          val h = (fp * A(k) + B(k)) % P
+          var j = 0
+          while (j < 16) {
+            val bit = ((h >> j) & 1L) == 1L
+            votes(16 * k + j) += (if (bit) 1 else -1)
+            j += 1
+          }
+          k += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
 /** `sorted_pairs(array<long>) -> array<struct<a,b>>` — all unordered pairs
   * (a < b) of a bounded id list: the pair-enumeration step of the inverted
   * index (each df-capped posting list of k docs yields k(k−1)/2 candidate
@@ -170,6 +234,8 @@ object ShingleFunctions {
       "shingles_f", exprs => ShinglesF(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSigF(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_sig", exprs => SimHashSigF(exprs.head), "built-in")
   }
 
   def shinglesF(c: Column): Column =
@@ -177,6 +243,9 @@ object ShingleFunctions {
 
   def minhashSig(c: Column): Column =
     org.apache.spark.sql.functions.call_function("minhash_sig", c)
+
+  def simhashSig(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("simhash_sig", c)
 
   def sortedPairs(c: Column): Column =
     org.apache.spark.sql.functions.call_function("sorted_pairs", c)

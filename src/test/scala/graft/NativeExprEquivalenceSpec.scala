@@ -50,6 +50,34 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("simhash_sig == explode(distinct) -> 64-aggregate weighted-sum on all documents") {
+    SF.register(spark)
+    TextFingerprint.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val native = docs
+      .select(col("doc_id"), SF.simhashSig(TF.tokens(col("text"))).as("simhash"))
+    val viaAgg = {
+      val wf = docs
+        .select(col("doc_id"), explode(array_distinct(TF.tokens(col("text")))).as("w"))
+        .withColumn("fp", call_function("text_fingerprint", col("w")))
+      val withHashes = (0 until 4).foldLeft(wf) { (d, k) =>
+        d.withColumn(s"h$k", TF.universalHash(col("fp"), k))
+      }
+      val sums = (0 until 64).map(j =>
+        sum(shiftright(col(s"h${j / 16}"), j % 16).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j"))
+      withHashes.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map { j =>
+            val w = if (j == 63) Long.MinValue else 1L << j
+            when(col(s"s$j") > 0, lit(w)).otherwise(lit(0L))
+          }.reduce(_ + _).as("simhash"))
+    }
+    val nMap = native.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aRows = viaAgg.collect()
+    assert(aRows.length == nMap.size)
+    aRows.foreach(r => assert(nMap(r.getLong(0)) == r.getLong(1), s"doc ${r.getLong(0)}"))
+  }
+
   test("sqdist_l == aggregate(zip_with((x-y)^2)) on quantized embeddings") {
     VF.register(spark)
     val qz = spark.read.parquet(s"$sf/embeddings.parquet")
