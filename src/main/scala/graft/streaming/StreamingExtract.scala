@@ -49,6 +49,34 @@ object StreamingExtract {
       .withWatermark("ts", "30 seconds")
       .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
 
+  /** Commit one micro-batch into a [[graft.table.SnapshotTable]] with
+    * replay-safe (exactly-once) semantics: the batchId IS the runId, and a
+    * re-delivered batch (after a failure, foreachBatch may replay the last
+    * uncommitted batch) is detected via the manifest's runId lineage and
+    * skipped — the same idempotence protocol as the batch engine's
+    * anti-join-vs-manifest resume, keyed by batch instead of bucket.
+    * @return Some(snapshot id) if a new snapshot was cut. */
+  def commitBatch(table: graft.table.SnapshotTable,
+      batch: Dataset[ExtractedTurn], batchId: Long): Option[Long] = {
+    val spark = batch.sparkSession
+    val runId = s"stream-$batchId"
+    if (table.committedEntries(spark).exists(_.runId == runId)) None
+    else table.commit(spark, batch, runId, replaceBuckets = false)
+  }
+
+  /** foreachBatch sink: streaming extraction lands in the SAME snapshot
+    * table (manifest lineage, per-bucket metrics, time travel) the batch
+    * engine writes — one storage layer for both faces. */
+  def snapshotSink(extracted: Dataset[ExtractedTurn],
+      table: graft.table.SnapshotTable,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[ExtractedTurn] =
+    extracted.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[ExtractedTurn], batchId: Long) =>
+        commitBatch(table, batch, batchId); ()
+      }
+
   /** Windowed extraction metrics (the streaming analog of the snapshot
     * manifest's per-partition metrics): 10-second event-time tumbling
     * windows per tool dialect, 30-second watermark for late turns. */

@@ -109,9 +109,18 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     * 100 TB). The stats observer runs pre-shuffle so the post-shuffle sort's
     * ordering metadata survives to the writer (no redundant writer sort).
     *
+    * `replaceBuckets` selects the entry-merge rule: `true` (batch default)
+    * replaces a bucket's previous entries — each bucket is written by
+    * exactly one run under the incremental-resume protocol, and compaction
+    * relies on replacement; `false` (the streaming sink) APPENDS this run's
+    * entries alongside previous runs' — a bucket accumulates one file set
+    * per micro-batch (readers union them; compaction folds them back to
+    * one).
+    *
     * @return Some(new snapshot id), or None if `extracted` was empty (no
     *         data ⇒ no new snapshot; the manifest chain is unchanged). */
-  def commit(spark: SparkSession, extracted: Dataset[ExtractedTurn], runId: String): Option[Long] = {
+  def commit(spark: SparkSession, extracted: Dataset[ExtractedTurn], runId: String,
+      replaceBuckets: Boolean = true): Option[Long] = {
     import spark.implicits._
     val dataPath = s"$dir/data/run=$runId"
 
@@ -157,7 +166,10 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
 
     // 3. MANIFEST SECOND: full committed set = parent's ∪ new.
     val parent = currentSnapshotId.getOrElse(-1L)
-    val prev = committedEntries(spark).filterNot(e => newEntries.exists(_.bucket == e.bucket))
+    val prev =
+      if (replaceBuckets)
+        committedEntries(spark).filterNot(e => newEntries.exists(_.bucket == e.bucket))
+      else committedEntries(spark)
     val snapId = parent + 1
     Files.createDirectories(manifestsDir)
     val lines = (prev ++ newEntries).sortBy(_.bucket).map(entryJson(snapId, parent, _))

@@ -67,6 +67,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSet == turns.map(t => (t.conv_id, t.turn_idx)).toSet)
   }
 
+  test("snapshot sink: streaming batches land in the table; replayed batches are no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_snap").toString
+    val table = new graft.table.SnapshotTable(s"$dir/table", numBuckets = 4)
+    val goldens = TranscriptGen.corpus(11L, nConvs = 12, hotBase = 30).toVector
+
+    val stream = MemoryStream[graft.model.Turn]
+    val q = StreamingExtract.snapshotSink(
+      StreamingExtract.extract(spark, stream.toDS()), table, s"$dir/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val (a, b) = goldens.map(_.turn).splitAt(goldens.size / 2)
+    stream.addData(a); q.processAllAvailable()
+    stream.addData(b); q.processAllAvailable()
+    q.stop()
+
+    // all turns committed, text matches the spec-derived goldens
+    val out = table.read(spark)
+      .select("conv_id", "turn_idx", "text")
+      .as[(String, Int, String)].collect()
+      .map { case (c, i, t) => (c, i) -> t }.toMap
+    assert(out.size == goldens.size)
+    goldens.foreach(g => assert(out((g.turn.conv_id, g.turn.turn_idx)) == g.expText))
+
+    // replay safety: re-committing an already-committed batchId is a no-op
+    val before = table.currentSnapshotId
+    val replay = StreamingExtract.extract(spark, a.toDS().as[graft.model.Turn])
+    assert(StreamingExtract.commitBatch(table, replay, batchId = 0L).isEmpty)
+    assert(table.currentSnapshotId == before)
+  }
+
   test("stateful sessionizer (flatMapGroupsWithState) flushes on size, conserves metrics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
