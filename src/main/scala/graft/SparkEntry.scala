@@ -469,6 +469,22 @@ object SparkEntry {
         .agg(round(sum(col("value").cast("decimal(20,6)")), 2).cast("double"))
     }),
 
+    "q_moving_agg" -> ((s, dir) => {
+      // Event-time RANGE-frame window: per-user moving 1-hour count/sum.
+      // One shuffle on user_id + a sorted range frame — never the
+      // self-join-on-time-interval form, whose output explodes with the
+      // events-per-hour density. Epoch seconds are truncated identically
+      // on both engines so the frame boundaries agree exactly.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-3600L, 0L)
+      t(s, dir, "events")
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("value").cast("decimal(20,6)")).over(w), 2)
+            .cast("double").as("sum_1h"))
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       // AS-OF join (operator Spark lacks natively): each purchase matched
       // to the user's latest click at-or-before it. NOT a range join (which
@@ -1018,6 +1034,14 @@ object SparkEntry {
         .mkString(", ")
       s"SELECT user_id, $cols FROM events GROUP BY user_id"
     },
+
+    "q_moving_agg" ->
+      """SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           round(sum(cast(value AS DECIMAL(20,6))) OVER w, 2)::DOUBLE AS sum_1h
+         FROM (SELECT *, cast(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
 
     "q_asof_join" ->
       // DuckDB's native ASOF JOIN is the oracle for the union+window
