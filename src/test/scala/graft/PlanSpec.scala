@@ -121,6 +121,38 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_orderedconcatagg") || p.contains("partial_"), p)
   }
 
+  test("as-of join plans as ONE shuffle + window — no join operator at all") {
+    val p = planOf("q_asof_join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("CartesianProduct"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges in:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("moving range-frame aggregate: one shuffle on user_id, window frame, no self-join") {
+    val p = planOf("q_moving_agg")
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges in:\n$p")
+  }
+
+  test("split assignment is a narrow map — zero exchanges") {
+    val p = planOf("q_split_assign")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("simhash signatures are a narrow map — zero exchanges (native one-pass expression)") {
+    val p = planOf("q_simhash")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("simhash_sig"), p)
+  }
+
+  test("sketch aggregations keep map-side partials (HLL registers, CMS cells)") {
+    assert(planOf("q_hll_distinct").contains("partial_"), planOf("q_hll_distinct"))
+    assert(planOf("q_cms_heavyhitters").contains("partial_"), planOf("q_cms_heavyhitters"))
+  }
+
   test("whole-stage codegen covers the relational operator queries") {
     // executedPlan.toString marks codegen'd subtrees with "*(n)"; under AQE
     // the final plan only materializes after execution
