@@ -238,8 +238,9 @@ object Bench {
         s"""# BENCH — scaling evidence (auto-written by graft.Bench)
            |
            |Flagship extraction job (read parquet transcripts → quality gates →
-           |salted repartition → mapPartitions kernels → (conv_id, turn_idx)
-           |order restore → write parquet), identical corpus both runs:
+           |kernel fused on size-bounded scan splits → one order-restoring
+           |shuffle on conv_id + in-partition (conv_id, turn_idx) sort →
+           |write parquet), identical corpus both runs:
            |seed-42, $nConvs conversations, $turns turns, Zipf hot-conv skew
            |(hottest conversation = $hotBase turns).
            |
