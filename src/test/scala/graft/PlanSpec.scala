@@ -121,12 +121,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_orderedconcatagg") || p.contains("partial_"), p)
   }
 
-  test("as-of join plans as ONE shuffle + window — no join operator at all") {
+  test("as-of join plans as shuffle + window — no join operator at all") {
     val p = planOf("q_asof_join")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
       && !p.contains("CartesianProduct"), p)
+    // exactly two exchanges: the click tie-dedupe aggregation (clicks
+    // subset only, partial-agg capable) and the per-user window shuffle
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges == 1, s"expected 1 exchange, got $exchanges in:\n$p")
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges in:\n$p")
     assert(p.contains("Window"), p)
   }
 
@@ -151,6 +153,32 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
   test("sketch aggregations keep map-side partials (HLL registers, CMS cells)") {
     assert(planOf("q_hll_distinct").contains("partial_"), planOf("q_hll_distinct"))
     assert(planOf("q_cms_heavyhitters").contains("partial_"), planOf("q_cms_heavyhitters"))
+  }
+
+  test("no partitionless window anywhere in the query surface (a Window " +
+    "with no PARTITION BY funnels every row into ONE task at scale)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val bad = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: Window if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name plans a partitionless Window")
+    }
+  }
+
+  test("levenshtein anti-join: length-band equi-join candidates, no " +
+    "nested-loop over the full name set") {
+    val p = planOf("q_anti_join_lev")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // candidates come from the blocking equi-join on the length band
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("cms heavy-hitter top-k plans as TakeOrderedAndProject (distributed " +
+    "per-partition heaps), not a global sort or single-task window") {
+    val p = planOf("q_cms_heavyhitters")
+    assert(p.contains("TakeOrderedAndProject"), p)
   }
 
   test("whole-stage codegen covers the relational operator queries") {
