@@ -38,8 +38,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // full job went ~35s→~21s; the 4-core level gained similarly (81s→52s).
   // Default GC threads on this 32-logical-cpu box is 23 — oversubscribes
   // the ~16 physical cores during a stop-the-world young collection.
-  s"-Xmn${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g").stripSuffix("g").toInt / 2}g",
-  "-XX:ParallelGCThreads=16",
+  // SPARK_DRIVER_MEM accepts any JVM size suffix (g/G/m/M): young gen is
+  // half the heap in MB regardless of unit.
+  s"-Xmn${(sys.env.getOrElse("SPARK_DRIVER_MEM", "32g") match {
+    case s if s.toLowerCase.endsWith("g") => s.dropRight(1).toLong * 1024
+    case s if s.toLowerCase.endsWith("m") => s.dropRight(1).toLong
+    case s                                => s.toLong / (1024 * 1024) // bytes
+  }) / 2}m",
+  // GC threads = min(16, host cores): matches the physical core count on
+  // the tuned box, degrades gracefully on smaller hosts; override with
+  // SPARK_GRAFT_GC_THREADS.
+  s"-XX:ParallelGCThreads=${sys.env.get("SPARK_GRAFT_GC_THREADS").map(_.toInt)
+    .getOrElse(math.min(16, java.lang.Runtime.getRuntime.availableProcessors))}",
   sys.env.getOrElse("SPARK_GRAFT_GC", "parallel") match {
     case "g1" => "-XX:+UseG1GC"
     case _    => "-XX:+UseParallelGC"

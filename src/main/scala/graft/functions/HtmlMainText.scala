@@ -21,6 +21,13 @@ import graft.model.ExtractConfig
   * [[ExtractorContext]] — the same no-per-row-allocation discipline as the
   * mapPartitions pipeline (reference analog: per-daemon model reuse,
   * `/root/reference/src/extras/weinman/interface/server_so.py:100-103`).
+  *
+  * Null semantics: NULL in → NULL out (standard SQL scalar-function
+  * propagation via `UnaryExpression`). This intentionally differs from the
+  * registered-UDF predecessor, which mapped null payloads to "" — callers
+  * wanting that behavior wrap with `coalesce(html_main_text(x), '')`. The
+  * flagship pipeline is unaffected: its F1 gate drops null text before the
+  * kernel.
   */
 case class HtmlMainText(child: Expression) extends UnaryExpression {
 

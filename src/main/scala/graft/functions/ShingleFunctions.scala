@@ -205,18 +205,27 @@ object SortedPairsL {
     containsNull = false)
 
   def compute(ids: ArrayData): ArrayData = {
-    val n = ids.numElements()
-    val arr = new Array[Long](n)
+    val raw = ids.numElements()
+    val sorted = new Array[Long](raw)
     var i = 0
-    while (i < n) { arr(i) = ids.getLong(i); i += 1 }
-    java.util.Arrays.sort(arr)
+    while (i < raw) { sorted(i) = ids.getLong(i); i += 1 }
+    java.util.Arrays.sort(sorted)
+    // dedupe in place so duplicate ids in the input can never emit a
+    // degenerate (a, a) "pair" — the a < b contract holds for ANY input,
+    // not just the distinct posting lists the dedup path feeds it
+    var n = 0
+    i = 0
+    while (i < raw) {
+      if (n == 0 || sorted(i) != sorted(n - 1)) { sorted(n) = sorted(i); n += 1 }
+      i += 1
+    }
     val out = new Array[Any](n * (n - 1) / 2)
     var k = 0
     i = 0
     while (i < n) {
       var j = i + 1
       while (j < n) {
-        out(k) = org.apache.spark.sql.catalyst.InternalRow(arr(i), arr(j))
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(sorted(i), sorted(j))
         k += 1
         j += 1
       }

@@ -28,23 +28,28 @@ import org.apache.spark.util.LongAccumulator
   */
 object ExtractPipeline {
 
-  /** Kernel-stage counters. `turnsOut` counts turns that passed the gates
-    * and were extracted; gate drops are NOT separately counted here — the
-    * gates are Catalyst Column filters (pushable into the scan), and an
-    * accumulator there would force them into opaque typed lambdas. Input
-    * cardinality is the source's own metric (e.g. scan rows). */
+  /** Kernel-stage counters. `turnsOut`/`blocksKept`/`blocksDropped`/
+    * `charsEmitted` count ONLY turns that also pass the F2 confidence gate
+    * (matching `observe()` and the snapshot manifest stats); turns the
+    * kernel extracted but F2 then drops land in `turnsGated`. Cheap-gate
+    * (F1/F6) drops are NOT counted here — those gates are Catalyst Column
+    * filters (pushable into the scan), and an accumulator there would force
+    * them into opaque typed lambdas. Input cardinality is the source's own
+    * metric (e.g. scan rows). */
   final case class Metrics(
       turnsOut: LongAccumulator,
       blocksKept: LongAccumulator,
       blocksDropped: LongAccumulator,
-      charsEmitted: LongAccumulator
+      charsEmitted: LongAccumulator,
+      turnsGated: LongAccumulator
   )
 
   def newMetrics(spark: SparkSession): Metrics = Metrics(
     spark.sparkContext.longAccumulator("graft.turnsOut"),
     spark.sparkContext.longAccumulator("graft.blocksKept"),
     spark.sparkContext.longAccumulator("graft.blocksDropped"),
-    spark.sparkContext.longAccumulator("graft.charsEmitted")
+    spark.sparkContext.longAccumulator("graft.charsEmitted"),
+    spark.sparkContext.longAccumulator("graft.turnsGated")
   )
 
   /** Gates → salt → kernel. Output is UNORDERED (post-shuffle); callers that
@@ -70,11 +75,16 @@ object ExtractPipeline {
       val ctx = new graft.kernel.ExtractorContext // per-task reusable buffers
       it.map { t =>
         val out = Extractor.extractTurn(t, c, ctx)
+        // the accumulator test mirrors the declarative F2 filter below
+        // (same deterministic predicate on the kernel's own output), so
+        // counts reflect rows that actually reach the sink
         m.foreach { acc =>
-          acc.turnsOut.add(1)
-          acc.blocksKept.add(out.blocksKept)
-          acc.blocksDropped.add(out.blocksDropped)
-          acc.charsEmitted.add(out.charsEmitted)
+          if (out.classifyScore >= c.minClassifyScore) {
+            acc.turnsOut.add(1)
+            acc.blocksKept.add(out.blocksKept)
+            acc.blocksDropped.add(out.blocksDropped)
+            acc.charsEmitted.add(out.charsEmitted)
+          } else acc.turnsGated.add(1)
         }
         out
       }

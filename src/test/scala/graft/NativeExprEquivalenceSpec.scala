@@ -105,6 +105,16 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L).isEmpty && out(3L).isEmpty)
   }
 
+  test("sorted_pairs dedupes duplicate ids — never a degenerate (a,a) pair") {
+    SF.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, Seq(4L, 4L, 4L, 7L, 7L, 1L))).toDF("k", "ids")
+    val pairs = df.select(SF.sortedPairs(col("ids")).as("p")).collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0).map(p => (p.getLong(0), p.getLong(1)))
+    assert(pairs.toSet == Set((1L, 4L), (1L, 7L), (4L, 7L)))
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
   test("plane_sig is deterministic and balanced-ish across the corpus") {
     VF.register(spark)
     val sigs = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -35,4 +35,18 @@ class ObservedMetricsSpec extends AnyFunSuite with SparkTestBase {
       assert(m.getAs[Long]("blocksDropped") == goldens.map(_.expDropped).sum)
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("accumulator metrics count post-F2-gate turns, matching observe()") {
+    val goldens = TranscriptGen.corpus(43L, nConvs = 20, hotBase = 40).toVector
+    val acc = ExtractPipeline.newMetrics(spark)
+    val ds = ExtractPipeline.run(
+      spark, TranscriptGen.dataset(spark, 43L, 20, 40), metrics = Some(acc))
+    ds.write.mode("overwrite").parquet("/tmp/graft_acc_out")
+    // generator goldens are all confident-dialect turns (classifyScore 1.0),
+    // so nothing is F2-gated and turnsOut must equal the golden count exactly
+    assert(acc.turnsOut.value == goldens.size)
+    assert(acc.charsEmitted.value == goldens.map(_.expText.length).sum)
+    assert(acc.blocksKept.value == goldens.map(_.expKept).sum)
+    assert(acc.blocksDropped.value == goldens.map(_.expDropped).sum)
+  }
 }
