@@ -116,6 +116,114 @@ class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
     assert(asOf1.sameElements(after))
   }
 
+  test("expireSnapshots: old files gone, kept snapshots still time-travel, live reads unaffected") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snap").toString
+    val table = new SnapshotTable(dir, numBuckets = 4)
+    val turns = TranscriptGen.dataset(spark, seed, 30, 60, partitions = 2)
+    // snap 0: partial, snap 1: full, snap 2: compaction rewrite
+    val half = turns.withColumn("bucket", table.bucketOf)
+      .where(col("bucket") < 2).drop("bucket").as[graft.model.Turn]
+    ExtractJob.runIncremental(spark, table, half, runId = "runA")
+    ExtractJob.runIncremental(spark, table, turns, runId = "runB")
+    table.compact(spark, runId = "compact1")
+    val live = table.read(spark)
+      .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect().sorted
+    val snap1 = table.readAt(spark, 1L)
+      .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect().sorted
+    assert(table.snapshotIds == Seq(0L, 1L, 2L))
+
+    // keep the newest 2 (snap 1 and live snap 2) — snap 0 expires, but all
+    // of snap 0's files are ALSO referenced by snap 1, so only the manifest
+    // goes; nothing reachable is deleted
+    val deleted1 = table.expireSnapshots(spark, keepLast = 2)
+    assert(deleted1.isEmpty, deleted1.mkString(","))
+    assert(table.snapshotIds == Seq(1L, 2L))
+    assert(intercept[IllegalArgumentException](table.readAt(spark, 0L))
+      .getMessage.contains("does not exist"))
+    // snap 1 still fully readable (time travel preserved for kept snapshots)
+    val snap1After = table.readAt(spark, 1L)
+      .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect().sorted
+    assert(snap1After.sameElements(snap1))
+
+    // now keep only the live snapshot: runA/runB file-sets (referenced only
+    // by expired snap 1) are physically deleted
+    val deleted2 = table.expireSnapshots(spark, keepLast = 1)
+    assert(deleted2.nonEmpty)
+    assert(deleted2.forall(p => p.contains("run=runA") || p.contains("run=runB")))
+    assert(deleted2.forall(p => !Files.exists(java.nio.file.Paths.get(p))))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/data/run=runA")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/data/run=runB")))
+    // compacted (live) data untouched; reads identical
+    val liveAfter = table.read(spark)
+      .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect().sorted
+    assert(liveAfter.sameElements(live))
+    // idempotent: nothing left to expire
+    assert(table.expireSnapshots(spark, keepLast = 1).isEmpty)
+  }
+
+  test("readRange prunes file-sets by manifest ts stats before scanning") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snap").toString
+    val table = new SnapshotTable(dir, numBuckets = 4)
+    val turns = TranscriptGen.dataset(spark, seed, 30, 60, partitions = 2)
+    // two appended runs with DISJOINT ts windows (generator gives each
+    // conversation its own hour slot): early convs 0-9, late convs 20-29 —
+    // the daily-ingest shape where time-range pruning pays off
+    val early = turns.where(col("conv_id") < "conv000010").as[graft.model.Turn]
+    val late = turns.where(col("conv_id") >= "conv000020").as[graft.model.Turn]
+    table.commit(spark, ExtractPipeline.extract(spark, early), "runEarly",
+      replaceBuckets = false)
+    table.commit(spark, ExtractPipeline.extract(spark, late), "runLate",
+      replaceBuckets = false)
+    val entries = table.committedEntries(spark)
+    val earlyMax = entries.filter(_.runId == "runEarly").map(_.maxTs).max
+    val lateMin = entries.filter(_.runId == "runLate").map(_.minTs).min
+    assert(earlyMax < lateMin, "fixture must have disjoint ts windows")
+
+    // a query over the early window must scan ZERO runLate files
+    val df = table.readRange(spark,
+      entries.filter(_.runId == "runEarly").map(_.minTs).min, earlyMax)
+    assert(df.inputFiles.nonEmpty && df.inputFiles.forall(_.contains("run=runEarly")),
+      df.inputFiles.mkString(","))
+    // row predicate still exact: equals a full-scan filter
+    val expected = table.read(spark)
+      .where(col("ts") <= to_timestamp(lit(earlyMax)))
+      .select("conv_id", "turn_idx").as[(String, Int)].collect().sorted
+    val got = df.select("conv_id", "turn_idx").as[(String, Int)].collect().sorted
+    assert(got.nonEmpty && got.sameElements(expected))
+    // and a range BETWEEN the two windows scans nothing, returns empty
+    assert(table.readRange(spark, "2090-01-01T00:00:00", "2091-01-01T00:00:00").count() == 0)
+  }
+
+  test("commit refuses a schema change against kept entries; manifest records schema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snap").toString
+    val table = new SnapshotTable(dir, numBuckets = 4)
+    val turns = TranscriptGen.dataset(spark, seed, 20, 40, partitions = 2)
+    ExtractJob.runIncremental(spark, table, turns, runId = "runS")
+    val entries = table.committedEntries(spark)
+    assert(entries.forall(_.schema.nonEmpty))
+    assert(entries.map(_.schema).distinct.size == 1)
+    // a would-be writer with a different schema (simulated by rewriting one
+    // entry's schema string) must be rejected at commit time
+    val manifest = java.nio.file.Paths.get(dir, "manifests",
+      s"snap-${table.currentSnapshotId.get}.json")
+    val forged = Files.readString(manifest).linesIterator.zipWithIndex.map {
+      case (l, 0) => l.replaceFirst("\"schema\":\"struct<", "\"schema\":\"struct<zz:int,")
+      case (l, _) => l
+    }.mkString("\n")
+    Files.writeString(manifest, forged)
+    val half = turns.withColumn("bucket", table.bucketOf)
+      .where(col("bucket") === 3).drop("bucket").as[graft.model.Turn]
+    val ex = intercept[IllegalStateException] {
+      graft.pipe.ExtractPipeline.extract(spark, half) match {
+        case ds => table.commit(spark, ds, runId = "runS2")
+      }
+    }
+    assert(ex.getMessage.contains("schema change detected"))
+  }
+
   test("manifest carries lineage and per-bucket extraction metrics") {
     import spark.implicits._
     val dir = Files.createTempDirectory("snap").toString
