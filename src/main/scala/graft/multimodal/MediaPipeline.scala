@@ -8,11 +8,11 @@ import org.apache.spark.sql.functions._
   * feature-extract / resize / frame-sample run as per-partition batch
   * kernels — the same seam as the text extraction kernels.
   *
-  * The actual codec step is STUBBED (this container has no image/audio
-  * libraries): [[StubCodec]] derives deterministic pseudo-features from the
-  * bytes. Everything around it — schema, partitioning, batch shape,
-  * metadata plumbing — is real and tested, so a real codec drops into
-  * [[MediaCodec]] without touching the pipeline.
+  * Two codecs plug into the [[MediaCodec]] seam: [[BinaryMedia.RealCodec]]
+  * genuinely parses BMP pixels / WAV PCM / GVF frames (pure JVM, no
+  * external libraries — see [[BinaryMedia]]), and [[StubCodec]] derives
+  * deterministic pseudo-features from raw bytes for payloads in formats
+  * this sandbox can't decode (jpeg/mp3/mp4 would need native libs).
   *
   * Reference ancestry: `cv2.imread` + per-image kernels
   * (`/root/reference/src/controller/idcardprocesser.py:132`,
@@ -74,6 +74,36 @@ object MediaPipeline {
       codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it => it.map(codec.decodeFeatures) }
+  }
+
+  /** Deterministic media table with REAL decodable payloads: 24-bpp BMP
+    * images (5×4, padding path exercised), 16-bit mono PCM WAV audio, and
+    * GVF frame-container video — pixel/sample values derived from a rolling
+    * hash of the doc text, encoded by [[BinaryMedia]]'s own encoders. No
+    * external data; [[BinaryMedia.RealCodec]] genuinely parses these. */
+  def synthesizeReal(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      // deterministic byte stream seeded by the text
+      var h = 1125899906842597L
+      text.foreach(c => h = 31 * h + c)
+      def next(): Int = { h = h * 6364136223846793005L + 1442695040888963407L; ((h >>> 33) & 0xff).toInt }
+      val kind = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+      val (w0, h0) = (5, 4)
+      def frame(): Array[Byte] =
+        BinaryMedia.Bmp.encode(w0, h0, Array.fill(w0 * h0 * 3)(next().toByte))
+      kind match {
+        case "image" =>
+          MediaRow(id, kind, frame(), w0, h0, 0)
+        case "audio" =>
+          val samples = Array.fill(240)(((next() << 8) | next()).toShort)
+          MediaRow(id, kind, BinaryMedia.Wav.encode(samples, 8000), 0, 0,
+            durationMs = 240 * 1000 / 8000)
+        case _ =>
+          MediaRow(id, kind, BinaryMedia.Gvf.encode(Seq(frame(), frame(), frame())),
+            w0, h0, durationMs = 3 * 40) // 25 fps
+      }
+    }
   }
 
   /** Deterministic synthetic media table derived from a text table: payload

@@ -73,4 +73,76 @@ object StreamingSessionize {
           }
       }
   }
+
+  /** Event-time state: [[ConvState]] plus the session's event-time extent. */
+  final case class EventConvState(
+      turns: Int, blocksKept: Long, blocksDropped: Long, charsEmitted: Long,
+      minIdx: Int, maxIdx: Int, minTsMs: Long, maxTsMs: Long)
+
+  private val EmptyEventState =
+    EventConvState(0, 0L, 0L, 0L, Int.MaxValue, Int.MinValue, Long.MaxValue, Long.MinValue)
+
+  /** EVENT-TIME sessionization — the production variant: a conversation's
+    * session closes when the WATERMARK (not the wall clock) passes its last
+    * event time + `gapMs`. Deterministic under replay: watermark movement
+    * is a pure function of the data, so re-running the stream yields the
+    * same sessions — which processing-time timeouts cannot promise.
+    *
+    *  - `withWatermark(ts, watermarkDelay)` bounds state AND drops
+    *    too-late rows engine-side before they reach the operator (the
+    *    late-data semantics StreamingSpec asserts);
+    *  - `state.setTimeoutTimestamp(maxTs + gapMs)` arms an
+    *    [[GroupStateTimeout.EventTimeTimeout]] that fires on watermark
+    *    passage — no armed wall-clock timer, so `processAllAvailable`
+    *    stays deterministic in MemoryStream tests (unlike
+    *    ProcessingTimeTimeout, see [[sessions]]);
+    *  - gaps INSIDE a batch also split sessions (the fold closes a
+    *    session whenever the next event is > gapMs after the last);
+    *  - `flushTurns` is a state-size bound: a conversation that never goes
+    *    idle still flushes (reason "size") instead of growing state forever.
+    */
+  def sessionsEventTime(spark: SparkSession, extracted: Dataset[ExtractedTurn],
+      gapMs: Long = 30 * 60 * 1000L, watermarkDelay: String = "10 seconds",
+      flushTurns: Int = 1000): Dataset[ConvSession] = {
+    import spark.implicits._
+    def emit(convId: String, s: EventConvState, reason: String) =
+      ConvSession(convId, s.turns, s.blocksKept, s.blocksDropped,
+        s.charsEmitted, s.minIdx, s.maxIdx, reason)
+    extracted
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[EventConvState, ConvSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (convId: String, turns: Iterator[ExtractedTurn], state: GroupState[EventConvState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(convId, s, "gap"))
+          } else {
+            var s = state.getOption.getOrElse(EmptyEventState)
+            val out = Vector.newBuilder[ConvSession]
+            // deterministic order: event time, then turn index
+            turns.toVector.sortBy(t => (t.ts.getTime, t.turn_idx)).foreach { t =>
+              val tMs = t.ts.getTime
+              if (s.turns > 0 && tMs - s.maxTsMs > gapMs) {
+                out += emit(convId, s, "gap")
+                s = EmptyEventState
+              }
+              s = EventConvState(s.turns + 1, s.blocksKept + t.blocksKept,
+                s.blocksDropped + t.blocksDropped, s.charsEmitted + t.charsEmitted,
+                math.min(s.minIdx, t.turn_idx), math.max(s.maxIdx, t.turn_idx),
+                math.min(s.minTsMs, tMs), math.max(s.maxTsMs, tMs))
+              if (s.turns >= flushTurns) {
+                out += emit(convId, s, "size")
+                s = EmptyEventState
+              }
+            }
+            if (s.turns > 0) {
+              state.update(s)
+              state.setTimeoutTimestamp(s.maxTsMs + gapMs)
+            } else state.remove()
+            out.result().iterator
+          }
+      }
+  }
 }

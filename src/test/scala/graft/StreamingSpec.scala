@@ -133,6 +133,82 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(hot.map(_.turns).sum >= 32) // hottest conv flushed several times
   }
 
+  test("event-time sessionizer: watermark closes gap sessions, drops too-late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // controlled event times: base turns from the generator, ts overridden
+    val base = TranscriptGen.corpus(42L, nConvs = 4, hotBase = 12).toVector.map(_.turn)
+    // epoch offset: the engine's initial watermark is 0 and the late-row
+    // predicate is ts <= watermark, so a t=0 event would be dropped as late
+    def at(t: graft.model.Turn, sec: Long) =
+      t.copy(ts = new java.sql.Timestamp((86400L + sec) * 1000L))
+    val convA = base.filter(_.conv_id == "conv000001").take(3)
+    val convB = base.filter(_.conv_id == "conv000002").take(2)
+
+    val stream = MemoryStream[graft.model.Turn]
+    val sessions = graft.streaming.StreamingSessionize.sessionsEventTime(
+      spark, StreamingExtract.extract(spark, stream.toDS()),
+      gapMs = 60000L, watermarkDelay = "10 seconds")
+    val q = sessions.writeStream
+      .format("memory").queryName("et_sessions")
+      .outputMode("append")
+      .start()
+
+    // batch 1: conv A at t=0s and t=10s — an open session, nothing emitted
+    stream.addData(Seq(at(convA(0), 0), at(convA(1), 10)))
+    q.processAllAvailable()
+    def emitted() = spark.table("et_sessions")
+      .as[graft.streaming.StreamingSessionize.ConvSession].collect().toVector
+    assert(emitted().isEmpty)
+
+    // batch 2: conv B at t=300s pushes the watermark to 290s — PAST conv A's
+    // last-event+gap (10s+60s), so A's session closes by EVENT time
+    stream.addData(Seq(at(convB(0), 300)))
+    q.processAllAvailable()
+    // timeout fires on the batch AFTER the watermark update reaches the op
+    stream.addData(Seq.empty[graft.model.Turn])
+    q.processAllAvailable()
+    val afterGap = emitted()
+    assert(afterGap.map(s => (s.conv_id, s.turns, s.reason)) ==
+      Vector(("conv000001", 2, "gap")))
+
+    // batch 3: a too-late row for conv A (t=5s, watermark is 290s) must be
+    // dropped engine-side — no state resurrection, nothing new emitted for A
+    stream.addData(Seq(at(convA(2), 5)))
+    q.processAllAvailable()
+    assert(emitted().count(_.conv_id == "conv000001") == 1)
+    q.stop()
+  }
+
+  test("event-time sessionizer splits in-batch gaps and honors the size bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = TranscriptGen.corpus(7L, nConvs = 2, hotBase = 16).toVector.map(_.turn)
+    // epoch offset: the engine's initial watermark is 0 and the late-row
+    // predicate is ts <= watermark, so a t=0 event would be dropped as late
+    def at(t: graft.model.Turn, sec: Long) =
+      t.copy(ts = new java.sql.Timestamp((86400L + sec) * 1000L))
+    val conv = base.filter(_.conv_id == "conv000000").take(6)
+
+    val stream = MemoryStream[graft.model.Turn]
+    val sessions = graft.streaming.StreamingSessionize.sessionsEventTime(
+      spark, StreamingExtract.extract(spark, stream.toDS()),
+      gapMs = 60000L, watermarkDelay = "5 seconds", flushTurns = 3)
+    val q = sessions.writeStream
+      .format("memory").queryName("et_sessions2")
+      .outputMode("append")
+      .start()
+    // one batch, two event-time clusters separated by > gap: [0,10,20] and
+    // [200]; the first cluster hits flushTurns=3 ("size"), the second stays
+    // open in state
+    stream.addData(Seq(at(conv(0), 0), at(conv(1), 10), at(conv(2), 20), at(conv(3), 200)))
+    q.processAllAvailable()
+    val out = spark.table("et_sessions2")
+      .as[graft.streaming.StreamingSessionize.ConvSession].collect().toVector
+    assert(out.map(s => (s.turns, s.reason)) == Vector((3, "size")))
+    q.stop()
+  }
+
   test("windowed metrics count every turn once under watermarking") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
