@@ -49,6 +49,11 @@ object Bench {
       // of summed shuffle-write time at 16 threads (BENCH/TUNING.md)
       .config("spark.shuffle.file.buffer", "1m")
       .config("spark.shuffle.unsafe.file.output.buffer", "1m")
+      // shuffle codec A/B (lz4 default; zstd trades CPU for bytes — at
+      // local[32] the shuffle never leaves page cache, so lz4 wins; on a
+      // real network-bound cluster re-run this A/B): BENCH/TUNING.md
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

@@ -99,10 +99,29 @@ object ExtractPipeline {
     * whole conversations, sorted by (conv_id, turn_idx) — a shuffle on
     * conv_id alone + local sort, NOT a global orderBy (no driver-side range
     * sampling job, and downstream per-conversation consumers keep locality).
+    *
+    * Shuffle-byte halving: span texts are exactly the `"\n"`-joined pieces
+    * of `text` (kernel invariant), so the exchange ships spans SLIMMED to
+    * byte lengths and the reduce side slices the texts back out of `text`
+    * — lossless, codegen'd both sides ([[graft.functions.SpanShuffle]]).
+    * The exchange (serialize → sort → fetch) is the flagship's measured
+    * memory-bandwidth ceiling, so bytes through it cost scaling efficiency.
     */
-  def orderRestore(ds: Dataset[ExtractedTurn]): Dataset[ExtractedTurn] =
-    ds.repartition(col("conv_id"))
+  def orderRestore(ds: Dataset[ExtractedTurn]): Dataset[ExtractedTurn] = {
+    import ds.sparkSession.implicits._
+    // A/B kill switch (BENCH/TUNING.md carries the ablation): =0 ships the
+    // fat rows — the pre-optimization shape
+    if (sys.env.get("SPARK_GRAFT_SLIM_SPANS").contains("0"))
+      return ds.repartition(col("conv_id"))
+        .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+    graft.functions.SpanShuffle.register(ds.sparkSession)
+    ds.toDF()
+      .withColumn("spans", graft.functions.SpanShuffle.slim(col("spans")))
+      .repartition(col("conv_id"))
       .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+      .withColumn("spans", graft.functions.SpanShuffle.fatten(col("text"), col("spans")))
+      .as[ExtractedTurn]
+  }
 
   /** Wrap an extraction output with `Dataset.observe` metrics (name
     * "graft_extract": turnsOut + blocksKept/blocksDropped/charsEmitted

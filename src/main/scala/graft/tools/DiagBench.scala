@@ -24,6 +24,8 @@ object DiagBench {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BUF", "1m"))
       .config("spark.shuffle.unsafe.file.output.buffer",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BUF", "1m"))
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
@@ -41,6 +43,8 @@ object DiagBench {
           f"serde=${(m.executorDeserializeTime + m.resultSerializationTime) / 1000.0}%6.2fs " +
           f"fetchWait=${m.shuffleReadMetrics.fetchWaitTime / 1000.0}%6.2fs " +
           f"shWrite=${m.shuffleWriteMetrics.writeTime / 1e9}%6.2fs " +
+          f"shWrB=${m.shuffleWriteMetrics.bytesWritten / 1e9}%6.3fGB " +
+          f"shRdB=${m.shuffleReadMetrics.totalBytesRead / 1e9}%6.3fGB " +
           f"spill=${m.memoryBytesSpilled / 1e9}%.2fGB tasks=${si.numTasks}%4d"
       }
     })

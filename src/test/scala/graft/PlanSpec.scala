@@ -181,6 +181,41 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("chunking is a narrow per-row expansion — zero exchanges") {
+    val p = planOf("q_chunk_overlap")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p) // explode(sequence(...)), codegen'd
+  }
+
+  test("sequence packing is one shuffle on the shard key + a window — no join") {
+    val p = planOf("q_pack_sequences")
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges in:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("salted aggregation: salt fan-out + tiny merge exchange, partials in both phases") {
+    val p = planOf("q_salted_agg")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges in:\n$p")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("flagship exchange ships SLIM spans: slim on the map side, fatten above the sort") {
+    val ds = ExtractPipeline.run(spark,
+      TranscriptGen.dataset(spark, 42L, nConvs = 10, hotBase = 20))
+    val p = ds.queryExecution.executedPlan.toString
+    val slimAt = p.indexOf("spans_slim")
+    val fattenAt = p.indexOf("spans_fatten")
+    val exchangeAt = p.indexOf("Exchange hashpartitioning")
+    assert(slimAt >= 0 && fattenAt >= 0 && exchangeAt >= 0, p)
+    // executedPlan prints top-down: fatten (reduce side) above the
+    // exchange, slim (map side) below it — proving the exchange carries
+    // the slim encoding
+    assert(fattenAt < exchangeAt && exchangeAt < slimAt, p)
+  }
+
   test("whole-stage codegen covers the relational operator queries") {
     // executedPlan.toString marks codegen'd subtrees with "*(n)"; under AQE
     // the final plan only materializes after execution
