@@ -155,10 +155,18 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     }
 
     // 1. DATA FIRST: bucketed, order-restored within files; stats observed
-    //    in the same pass.
-    observed.withColumn("bucket", bucketOf)
+    //    in the same pass. The bucket exchange ships SLIM spans (byte
+    //    lengths instead of the text duplicate) and slices them back above
+    //    the sort — the same shuffle-byte halving as the flagship's order
+    //    restore (see ExtractPipeline.orderRestore / BENCH/TUNING.md).
+    graft.functions.SpanShuffle.register(spark)
+    observed.toDF()
+      .withColumn("spans", graft.functions.SpanShuffle.slim(col("spans")))
+      .withColumn("bucket", bucketOf)
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("conv_id"), col("turn_idx"))
+      .withColumn("spans", graft.functions.SpanShuffle.fatten(col("text"), col("spans")))
+      .select((extracted.schema.fieldNames.map(col) :+ col("bucket")): _*)
       .write.mode("overwrite").partitionBy("bucket").parquet(dataPath)
 
     // schema tracked per entry (Iceberg schema-evolution analog, minimal
