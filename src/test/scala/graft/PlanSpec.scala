@@ -216,6 +216,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(fattenAt < exchangeAt && exchangeAt < slimAt, p)
   }
 
+  test("repetition-quality signals are a narrow map — zero exchanges") {
+    val p = planOf("q_repetition_quality")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("decontamination joins corpus shingles against a BROADCAST benchmark " +
+    "set — corpus text never shuffles for the join") {
+    val p = planOf("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quantile sketch: hash-threshold sample aggregates with map-side " +
+    "partials — only the per-group sample crosses the one exchange") {
+    val p = planOf("q_quantile_sketch")
+    assert(p.contains("partial_percentile") || p.contains("partial"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("whole-stage codegen covers the relational operator queries") {
     // executedPlan.toString marks codegen'd subtrees with "*(n)"; under AQE
     // the final plan only materializes after execution
