@@ -75,6 +75,24 @@ object SparkEntry {
       .select(col("doc_id") +: (0 until minhashK).map(k => col("sig").getItem(k).as(s"h$k")): _*)
   }
 
+  /** LSH candidate pairs (id_a < id_b) from 4×4 banding over the minhash
+    * signature: docs sharing any band bucket meet via an equi-join on the
+    * band key — never a quadratic pair enumeration. Shared by
+    * q_dedup_minhash_pairs (verification) and q_minhash_accuracy (eval). */
+  private def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(s, dir)
+    val bandStructs = array((0 until 4).map { j =>
+      struct(lit(j).as("band"),
+        concat_ws("_", (0 until 4).map(r => col(s"h${4 * j + r}")): _*).as("key"))
+    }: _*)
+    val bands = sig.select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+  }
+
   /** 64-bit SimHash signatures (doc_id, simhash): per-distinct-word
     * fingerprints, 4 universal hashes × 16 bits each (the hash family
     * yields 31-bit values, so one hash can't supply 64 bits), signed
@@ -358,17 +376,7 @@ object SparkEntry {
       // sharing any band bucket become candidates (equi-join on the band
       // key — the scale path: no quadratic pair enumeration), then exact
       // shingle-Jaccard verification on the candidates only.
-      val sig = minhashSignatures(s, dir)
-      val bandStructs = array((0 until 4).map { j =>
-        struct(lit(j).as("band"),
-          concat_ws("_", (0 until 4).map(r => col(s"h${4 * j + r}")): _*).as("key"))
-      }: _*)
-      val bands = sig.select(col("doc_id"), explode(bandStructs).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      val cands = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+      val cands = minhashCandidates(s, dir)
       val sh = t(s, dir, "documents")
         .withColumn("w", TF.tokens(col("text")))
         .select(col("doc_id"), SF.shinglesF(col("w")).as("sh"))
@@ -378,6 +386,38 @@ object SparkEntry {
         .join(sh.as("sb"), col("id_b") === col("sb.doc_id"))
         .withColumn("jac", inter.cast("double") / (size(col("sa.sh")) + size(col("sb.sh")) - inter))
         .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
+    }),
+
+    "q_minhash_accuracy" -> ((s, dir) => {
+      // Sketch-accuracy EVAL (the reference's A9 eval-metrics discipline
+      // applied to the sketch family): minhash agreement (matching
+      // hashes / 16) is an unbiased Jaccard estimator — score it against
+      // the exact shingle Jaccard, per LSH candidate pair. Candidates come
+      // from the banded equi-join (never all-pairs); the eval adds two
+      // equi-joins on doc_id. est is k/16 (exact dyadic double) and the
+      // error arithmetic is identical in both engines, so the comparison
+      // is hash-exact.
+      val sig = minhashSignatures(s, dir)
+      val sh = t(s, dir, "documents")
+        .withColumn("w", TF.tokens(col("text")))
+        .select(col("doc_id"), SF.shinglesF(col("w")).as("sh"))
+      val nMatch = (0 until minhashK)
+        .map(k => when(col(s"sa.h$k") === col(s"sb.h$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      val inter = size(array_intersect(col("ka.sh"), col("kb.sh")))
+      minhashCandidates(s, dir)
+        .join(sig.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("id_b") === col("sb.doc_id"))
+        .withColumn("est", nMatch.cast("double") / minhashK)
+        .select(col("id_a"), col("id_b"), col("est"))
+        .join(sh.as("ka"), col("id_a") === col("ka.doc_id"))
+        .join(sh.as("kb"), col("id_b") === col("kb.doc_id"))
+        .withColumn("jac",
+          inter.cast("double") / (size(col("ka.sh")) + size(col("kb.sh")) - inter))
+        .select(col("id_a"), col("id_b"),
+          round(col("est"), 4).as("est_jac"),
+          round(col("jac"), 4).as("exact_jac"),
+          round(abs(col("est") - col("jac")), 4).as("abs_err"))
     }),
 
     "q_simhash" -> ((s, dir) => simhashSignatures(s, dir)),
@@ -1388,6 +1428,37 @@ object SparkEntry {
             round(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::DOUBLE
               / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 4) AS jac
           FROM cands JOIN shs sa ON id_a = sa.doc_id JOIN shs sb ON id_b = sb.doc_id"""
+    },
+
+    "q_minhash_accuracy" -> {
+      val mins = (0 until minhashK).map(k =>
+        s"min((fp*${TF.hashA(k)} + ${TF.hashB(k)}) % ${TF.HashP}) AS h$k").mkString(", ")
+      val bandSelects = (0 until 4).map { j =>
+        val key = (0 until 4).map(r => s"cast(h${4 * j + r} AS VARCHAR)").mkString(" || '_' || ")
+        s"SELECT doc_id, $j AS band, $key AS key FROM sig"
+      }.mkString(" UNION ALL ")
+      val nMatch = (0 until minhashK)
+        .map(k => s"(CASE WHEN sa.h$k = sb.h$k THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH sh AS (SELECT doc_id, unnest($oShingles) AS shingle
+            FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents)),
+          f AS (SELECT doc_id, ${oFp("shingle")} AS fp FROM sh),
+          sig AS (SELECT doc_id, $mins FROM f GROUP BY doc_id),
+          bands AS ($bandSelects),
+          cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+          shs AS (SELECT doc_id, $oShingles AS sh
+            FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents)),
+          est AS (SELECT id_a, id_b, ($nMatch)::DOUBLE / $minhashK AS est
+            FROM cands JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id),
+          ex AS (SELECT id_a, id_b, est,
+              len(list_filter(ka.sh, x -> list_contains(kb.sh, x)))::DOUBLE
+                / (len(ka.sh) + len(kb.sh)
+                   - len(list_filter(ka.sh, x -> list_contains(kb.sh, x)))) AS jac
+            FROM est JOIN shs ka ON id_a = ka.doc_id JOIN shs kb ON id_b = kb.doc_id)
+          SELECT id_a, id_b, round(est, 4) AS est_jac, round(jac, 4) AS exact_jac,
+            round(abs(est - jac), 4) AS abs_err
+          FROM ex"""
     },
 
     "q_simhash" ->
