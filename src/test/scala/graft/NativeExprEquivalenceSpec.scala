@@ -26,6 +26,24 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SparkTestBase {
     assert(n == 0, s"$n docs diverge")
   }
 
+  test("repetition sorted max-run fold == explode -> groupBy(count) -> max on all documents") {
+    // q_repetition_quality computes the top-word count with an O(n log n)
+    // narrow fold over the sorted token array; pin it to the shuffling
+    // explode-groupBy formulation the DuckDB oracle uses
+    val rep = SparkEntry.queries("q_repetition_quality")(spark, sf)
+      .select(col("doc_id"), col("top_word_frac"))
+    val viaAgg = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), TF.tokens(col("text")).as("w"))
+      .withColumn("n_words", size(col("w")).cast("bigint"))
+      .select(col("doc_id"), col("n_words"), explode(col("w")).as("wd"))
+      .groupBy(col("doc_id"), col("n_words"), col("wd")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_words")).agg(max(col("c")).as("top_c"))
+      .select(col("doc_id"),
+        round(col("top_c").cast("double") / col("n_words"), 4).as("top_word_frac"))
+    assert(rep.count() == viaAgg.count())
+    assert(rep.except(viaAgg).count() == 0 && viaAgg.except(rep).count() == 0)
+  }
+
   test("minhash_sig == explode -> fingerprint -> groupBy(min x16) on all documents") {
     SF.register(spark)
     TextFingerprint.register(spark)
