@@ -443,7 +443,13 @@ object SparkEntry {
       import org.apache.spark.HashPartitioner
       import org.apache.spark.rdd.RDD
       import s.implicits._
-      val edges = simhashPairs(s, dir, dedup = false)
+      // dedup MATTERS here (unlike the verify-join consumers): the edge
+      // multiset is traversed EVERY fixpoint round, so a ≤4-band duplicate
+      // pair costs 4× in every round's join — one distinct shuffle up
+      // front amortizes over all rounds. (Measured at sf0.1: 1.4M raw edge
+      // entries vs ~0.35M distinct — clique-heavy near-dup graphs make the
+      // multiset blow-up the rule, not the exception.)
+      val edges = simhashPairs(s, dir)
         .select(col("id_a"), col("id_b"))
       // The fixpoint runs ONLY over the edge-induced subgraph: a vertex with
       // no near-dup edge is trivially its own component and never enters the
@@ -455,12 +461,15 @@ object SparkEntry {
         .flatMap { case (a, b) => Iterator((b, a), (a, b)) } // undirected, keyed by proposer
         .cache()
       // partition count DERIVED from the measured edge count (≈250k edges
-      // per fixpoint task, capped by the upstream partition count — itself
-      // |E|-proportional at scale): the label state scales with the edge
-      // graph, so its partitioning must too; a fixed count is either a
-      // 100-TB bottleneck or (locally) pure per-task scheduling overhead
+      // per fixpoint task), capped by the cluster's core budget — NOT by
+      // the upstream partition count: AQE routinely coalesces the small
+      // edge DataFrame to ONE partition, and inheriting that cap would
+      // single-thread the whole fixpoint (measured exactly that at sf0.1).
+      // The label state scales with the edge graph, so its partitioning
+      // must too; a fixed count is either a 100-TB bottleneck or (locally)
+      // pure per-task scheduling overhead.
       val nE = undRaw.count()
-      val lp = math.max(1, math.min(undRaw.getNumPartitions,
+      val lp = math.max(1, math.min(s.sparkContext.defaultParallelism,
         math.ceil(nE / 250000.0).toInt))
       val part = new HashPartitioner(lp)
       val und = undRaw.partitionBy(part).cache()
@@ -481,14 +490,18 @@ object SparkEntry {
           .map { case (_, (id, cc)) => (id, cc) }
       var converged = false
       var rounds = 0
+      val ccDebug = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
       while (!converged) {
         rounds += 1
+        val tR = System.nanoTime()
         // one propagation per round: und/labels share `part`, so the join is
         // co-partitioned (narrow) and the reduceByKey is the round's only
         // shuffle; merge-with-previous is a partitioner-aware union.
         val prop = und.join(labels, part) // (proposer, (target, proposerComp))
           .map { case (_, (target, c)) => (target, c) }
           .reduceByKey(part, math.min(_, _))
+        if (ccDebug && rounds <= 2)
+          println(s"[cc] prop DAG round $rounds:\n${prop.toDebugString}")
         val merged = labels.union(prop).reduceByKey(part, math.min(_, _)).cache()
         // min-propagation alone converges in O(diameter); the per-round
         // comp←comp(comp) pointer jump keeps chained near-dups (the measured
@@ -513,7 +526,19 @@ object SparkEntry {
         labels.unpersist(false)
         if (next ne merged) merged.unpersist(false)
         labels = next
+        if (ccDebug) {
+          val st = s.sparkContext.getRDDStorageInfo
+            .map(r => s"${r.id}:${r.numCachedPartitions}/${r.numPartitions}").mkString(" ")
+          println(f"[cc] round $rounds%2d lp=$lp undId=${und.id} " +
+            f"${(System.nanoTime() - tR) / 1e9}%6.2f s converged=$converged cached[$st]")
+        }
       }
+      // free the edge cache: the returned frame depends only on the FINAL
+      // labels (cached + fully materialized by the convergence count); if
+      // those blocks were ever evicted the lineage recompute is slow but
+      // correct. Without this, every invocation in a long-lived session
+      // leaked one edge-set cache.
+      und.unpersist(false)
       t(s, dir, "documents").select(col("doc_id"))
         .join(labels.toDF("doc_id", "comp"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
