@@ -40,6 +40,26 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // shared pieces
 
+  /** Correctness-only exactness twins EXCLUDED from the timed bench suite:
+    * their plan is quadratic BY CONSTRUCTION (the all-pairs oracle shape a
+    * banded/bucketed production query is verified against), so timing them
+    * says nothing about 100-TB behavior. Verify still dumps them — the
+    * driver's DuckDB oracle check is unaffected. Bench records the exclusion
+    * in its JSON line (`untimed_correctness_twins`) — bounded coverage is
+    * declared, never silent. */
+  val UntimedTwins: Set[String] = Set("q_dedup_embed_cosine")
+
+  /** Golden-parquet oracle fixtures for the extraction queries (written by
+    * [[graft.tools.GoldenDump]] from the SPEC-derived generator goldens —
+    * TranscriptGen authors expected text/spans while assembling payloads,
+    * never by running the kernels — and locked in git; GoldenParquetSpec
+    * re-derives them on every `sbt test` so the committed artifact cannot
+    * go stale). The driver's DuckDB reads them via `read_parquet`, turning
+    * the former rows-only `x_*` checks into full rows+schema+hash oracles
+    * of the north rule's per-turn text equality. */
+  val GoldenDir: String = sys.env.getOrElse(
+    "SPARK_GRAFT_GOLDEN_DIR", "/root/repo/src/test/resources/golden")
+
   private val minhashK = 16
 
   /** Document-frequency cap for the shingle inverted index: a shingle shared
@@ -120,24 +140,26 @@ object SparkEntry {
       struct(lit(b).as("band"),
         shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L)).as("key"))
     }: _*)
-    val bands = sig.select(col("doc_id"), explode(bandStructs).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val candsRaw = bands.as("a").join(bands.as("b"),
+    // the full 8-byte signature RIDES THROUGH the band shuffle (round-4
+    // change): the hamming verify is then a codegen'd scalar on the join
+    // output — no join-backs to the signature table. The former 3-join
+    // shape (bands → distinct → sig ⋈ sig) paid two extra shuffled joins
+    // to keep the band rows 8 bytes slimmer; measured at sf0.1 the carried
+    // column is ~2× faster end-to-end and feeds the CC fixpoint's edge
+    // stage the same way (BENCH/TUNING.md round 4).
+    val bands = sig.select(col("doc_id"), col("simhash"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    // `dedup = false` skips the distinct (the candidate multiset's one big
-    // shuffle) for consumers that tolerate duplicate pairs — the CC
-    // fixpoint's reduceByKey dedups for free, and the verify joins below
-    // are broadcast-narrow, so re-verifying a ≤4-band duplicate is cheaper
-    // than shuffling the whole candidate set
-    val cands = if (dedup) candsRaw.distinct() else candsRaw
-    cands
-      .join(sig.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("id_b") === col("sb.doc_id"))
-      .withColumn("hamming", bit_count(col("sa.simhash").bitwiseXOR(col("sb.simhash"))))
+      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
       .filter(col("hamming") <= 3)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("hamming"))
+    // dedup AFTER the hamming filter: the distinct then shuffles only the
+    // verified near-dup pairs (3.5k at sf0.1), not the full candidate
+    // multiset. `dedup = false` consumers tolerate ≤4-band duplicates.
+    if (dedup) pairs.distinct() else pairs
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -260,6 +282,33 @@ object SparkEntry {
         .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("w"))
         .join(broadcast(dictDf), levenshtein(col("w"), col("dw")) <= 1, "left_semi")
         .groupBy(col("p_partkey")).agg(count(lit(1)).as("matched"))
+    }),
+
+    "q_ratio_match" -> ((s, dir) => {
+      // J2's RATIO-TEST acceptance as a standalone query (Lowe's 0.7-ratio
+      // kNN accept, the reference's keypoint-match filter
+      // keypoint_calc.py:65-84): per probe word, rank the dictionary
+      // candidates by edit distance and accept the best match only when it
+      // is DECISIVELY better than the runner-up — best < 0.7 × second.
+      // Shape: probe × broadcast bounded dictionary (never probe × probe),
+      // one window partitioned by the probe key, integer arithmetic for the
+      // ratio (best*10 < second*7) so both engines compare exactly.
+      import s.implicits._
+      val dictDf = broadcast(SparkEntry.MatchDict.toDF("dw"))
+      val words = t(s, dir, "part")
+        .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("w"))
+        .distinct()
+      val wnd = Window.partitionBy(col("p_partkey"), col("w"))
+        .orderBy(col("dist"), col("dw"))
+      words.crossJoin(dictDf)
+        .withColumn("dist", levenshtein(col("w"), col("dw")).cast("long"))
+        .withColumn("rk", row_number().over(wnd)).filter(col("rk") <= 2)
+        .groupBy(col("p_partkey"), col("w"))
+        .agg(
+          min(when(col("rk") === 1, col("dw"))).as("best_dw"),
+          min(when(col("rk") === 1, col("dist"))).as("best_dist"),
+          min(when(col("rk") === 2, col("dist"))).as("second_dist"))
+        .filter(col("best_dist") * 10 < col("second_dist") * 7)
     }),
 
     "q_bucketed_join" -> ((s, dir) => {
@@ -475,62 +524,87 @@ object SparkEntry {
       val und = undRaw.partitionBy(part).cache()
       und.foreachPartition(_ => ()) // materialize, then free the raw copy
       undRaw.unpersist(false)
-      // round 1 fused: with comp(id)=id initially, the first propagation is
-      // just "min adjacent id" — one reduceByKey, no join, and it doubles as
-      // label initialization (min(self, min neighbor)). For the clique-ish
-      // components near-dup graphs produce this is already the fixpoint.
+      // ---- Fixpoint round structure (round-4 rewrite; BENCH/TUNING.md r4):
+      // the round-3 join/reduceByKey/union formulation paid 4-6 shuffles per
+      // round — `labels` lost its partitioner at every map, so each join
+      // RE-shuffled the full label state, and every cogroup/combiner ran an
+      // ExternalAppendOnlyMap whose SizeTracker sampling dominated the
+      // profile (QTime round 3b). This formulation keeps `labels`
+      // hash-partitioned by `part` across rounds and does all per-partition
+      // work in plain LongMaps:
+      //   S1  prop:   edges look labels up via narrow zipPartitions (both
+      //               sides co-partitioned by `part`), pre-combined per map
+      //               partition (manual map-side combine, bounded by the
+      //               250k-edges/task sizing) → ONE plain partitionBy
+      //               shuffle of (target, candComp) pairs;
+      //   —   merge:  labels ⊕ prop min-merge, zipPartitions, NO shuffle;
+      //   S2  jump:   comp ← comp(comp) (pointer jumping keeps chained
+      //               near-dups at O(log diameter)): swap-key partitionBy;
+      //   S3  align:  jump results re-keyed by id back to `part`, then a
+      //               narrow compare against the previous labels COUNTS
+      //               CHANGES IN AN ACCUMULATOR inside the same job that
+      //               materializes the round — convergence costs ZERO extra
+      //               jobs (over-count on a task retry only means one extra
+      //               no-op round; under-count is impossible in a job that
+      //               ran to completion).
+      // 3 plain (Long,Long) shuffles per round, no aggregation machinery,
+      // no redundant label re-shuffles. Per-partition helpers live in the
+      // serializable [[CCKernels]] object (static access — a local def here
+      // would pull the enclosing non-serializable closure into every task).
+      import CCKernels.{minFoldByKey, toLongMap}
+      // label init fused with round 1: comp(id) = min(id, min neighbor) —
+      // for the clique-ish components near-dup graphs produce this is
+      // already the fixpoint (the first loop round then just verifies).
       var labels: RDD[(Long, Long)] = und
-        .map { case (proposer, target) => (target, proposer) }
-        .reduceByKey(part, math.min(_, _))
-        .map { case (id, minNbr) => (id, math.min(id, minNbr)) }.cache()
-      // pointer jumping: comp ← comp(comp); l is consumed twice, so callers
-      // pass a cached RDD
-      def jump(l: RDD[(Long, Long)]): RDD[(Long, Long)] =
-        l.map { case (id, c) => (c, id) }.join(l, part)
-          .map { case (_, (id, cc)) => (id, cc) }
+        .mapPartitions(it => minFoldByKey(it.map { case (p, t) => (t, p) }))
+        .partitionBy(part)
+        .mapPartitions(it => minFoldByKey(it.map { case (v, c) => (v, math.min(v, c)) }),
+          preservesPartitioning = true)
+        .cache()
       var converged = false
       var rounds = 0
       val ccDebug = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
       while (!converged) {
         rounds += 1
         val tR = System.nanoTime()
-        // one propagation per round: und/labels share `part`, so the join is
-        // co-partitioned (narrow) and the reduceByKey is the round's only
-        // shuffle; merge-with-previous is a partitioner-aware union.
-        val prop = und.join(labels, part) // (proposer, (target, proposerComp))
-          .map { case (_, (target, c)) => (target, c) }
-          .reduceByKey(part, math.min(_, _))
-        if (ccDebug && rounds <= 2)
-          println(s"[cc] prop DAG round $rounds:\n${prop.toDebugString}")
-        val merged = labels.union(prop).reduceByKey(part, math.min(_, _)).cache()
-        // min-propagation alone converges in O(diameter); the per-round
-        // comp←comp(comp) pointer jump keeps chained near-dups (the measured
-        // shape at sf0.1 — 6 plain rounds) at O(log diameter)
-        val next = jump(merged).cache()
-        if (rounds % 2 == 0 || rounds == 1) {
-          // convergence test every SECOND round (after the cheap round-1
-          // fixpoint-for-cliques check): each test is a driver job over the
-          // label state, and label changes between consecutive rounds of a
-          // converging min-propagation are monotone — testing at half rate
-          // costs at most one extra (cheap, already-converged) round while
-          // halving the driver-side job count.
-          // The count fully materializes next's cache BEFORE the ancestors
-          // are unpersisted (a short-circuiting isEmpty would leave later
-          // partitions to recompute through freed lineage next round).
-          converged = next.join(labels, part)
-            .filter { case (_, (n, o)) => n != o }.count() == 0L
-        } else {
-          next.foreachPartition(_ => ()) // materialize cache, no comparison
-          converged = false
-        }
+        val changed = s.sparkContext.longAccumulator(s"graft.cc.changed.$rounds")
+        // S1: propose min labels along edges (lookup narrow, pre-combined)
+        val prop = und.zipPartitions(labels) { (eIt, lIt) =>
+          val lbl = toLongMap(lIt)
+          minFoldByKey(eIt.map { case (u, v) => (v, lbl(u)) })
+        }.partitionBy(part)
+        // merge: per-key min of (previous label, best proposal) — narrow
+        val merged = labels.zipPartitions(prop, preservesPartitioning = true) {
+          (lIt, pIt) =>
+            val m = toLongMap(lIt)
+            pIt.foreach { case (id, c) => if (c < m(id)) m(id) = c }
+            m.iterator
+        }.cache()
+        // S2+S3: pointer jump comp ← comp(comp), re-aligned to `part` and
+        // compared against the previous labels in the same pass
+        val next = merged
+          .map { case (id, c) => (c, id) }.partitionBy(part)
+          .zipPartitions(merged) { (rIt, lIt) =>
+            val m = toLongMap(lIt)
+            rIt.map { case (c, id) => (id, m.getOrElse(c, c)) }
+          }.partitionBy(part)
+          .zipPartitions(labels, preservesPartitioning = true) { (nIt, oIt) =>
+            val old = toLongMap(oIt)
+            nIt.map { case (id, cc) =>
+              if (cc != old(id)) changed.add(1L)
+              (id, cc)
+            }
+          }.cache()
+        next.foreachPartition(_ => ()) // materialize; accumulator now final
+        converged = changed.value == 0L
         labels.unpersist(false)
-        if (next ne merged) merged.unpersist(false)
+        merged.unpersist(false)
         labels = next
         if (ccDebug) {
           val st = s.sparkContext.getRDDStorageInfo
             .map(r => s"${r.id}:${r.numCachedPartitions}/${r.numPartitions}").mkString(" ")
           println(f"[cc] round $rounds%2d lp=$lp undId=${und.id} " +
-            f"${(System.nanoTime() - tR) / 1e9}%6.2f s converged=$converged cached[$st]")
+            f"${(System.nanoTime() - tR) / 1e9}%6.2f s changed=${changed.value} cached[$st]")
         }
       }
       // free the edge cache: the returned frame depends only on the FINAL
@@ -781,6 +855,13 @@ object SparkEntry {
       // petabyte corpus side is a narrow explode into a broadcast hash
       // join (zero shuffle of corpus text), then one map-side-combinable
       // per-doc count. Never a corpus×benchmark shuffle join.
+      //
+      // SCALE CAVEAT (round-3 advice): the % 41 stand-in slice scales WITH
+      // the corpus, so the broadcast hint is only valid here because test
+      // SFs are small. In production the bench side must be a genuinely
+      // bounded external eval table (MMLU/GSM8K-sized, ≪ executor memory);
+      // if the eval set can grow, drop the hint and let AQE pick the
+      // strategy from the actual build-side size.
       SF.register(s)
       val docs = t(s, dir, "documents")
         .withColumn("w", TF.tokens(col("text")))
@@ -1091,7 +1172,15 @@ object SparkEntry {
     }),
 
     // -------------------------------------------------- extraction engine
-    // (no SQL oracle — verified by the sbt golden suites; driver rows-check)
+    // The kernels have no SQL re-derivation, but five of the six queries
+    // now carry FULL hash oracles anyway: flagship/spans/sql_extract/fields
+    // against spec-derived golden parquet locked under [[GoldenDir]] (see
+    // GoldenDump/GoldenParquetSpec; the driver's DuckDB reads it via
+    // read_parquet — the north rule's per-turn text equality, hash-checked
+    // by the driver), and x_lang_id against a symbolic per-doc score
+    // re-derivation ([[oLangIdPerDoc]]). Only x_media_features stays
+    // rows-only (binary codec decode; MediaPipelineSpec carries its
+    // hand-computed goldens).
     "x_extract_flagship" -> ((s, _) => {
       ExtractPipeline.run(s, TranscriptGen.dataset(s, 42L, nConvs = 80, hotBase = 200))
         .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
@@ -1280,9 +1369,69 @@ object SparkEntry {
         FROM best GROUP BY 1, 2"""
   }
 
+  /** x_lang_id oracle: the per-doc twin of [[oLangIdEval]] — identical
+    * symbolic score re-derivation (2·function-word hits + trigram hits,
+    * argmax, tie → lang asc, all-zero → "und"/0), keyed by doc_id and
+    * carrying the winning score. All-integer arithmetic: hash-exact. */
+  private def oLangIdPerDoc: String = {
+    val lower =
+      "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
+    val profiles = graft.kernel.LangId.Profiles
+    val scoreCols = profiles.map { p =>
+      val words = p.words.toSeq.sorted.map(w => s"'$w'").mkString("[", ",", "]")
+      val tris = p.trigrams.toSeq.sorted.map(g => s"'$g'").mkString("[", ",", "]")
+      s"""2 * len(list_filter(w, x -> list_contains($words, x)))
+         | + len(list_filter(generate_series(1, greatest(length(t) - 2, 0)),
+         |     j -> list_contains($tris, substr(t, j, 3)))) AS s_${p.lang}"""
+        .stripMargin.replace("\n", " ")
+    }.mkString(", ")
+    val sNames = profiles.map(p => s"s_${p.lang}").mkString(", ")
+    val mx = profiles.map(p => s"s_${p.lang}").mkString("greatest(", ", ", ")")
+    val pick = profiles.map(p => s"WHEN s_${p.lang} = mx THEN '${p.lang}'").mkString(" ")
+    s"""WITH base AS (SELECT doc_id, lang, $lower AS t FROM documents),
+        toks AS (SELECT doc_id, lang, t,
+          list_filter(string_split_regex(t, '[ \t\n\r\f]+'), x -> x <> '') AS w
+          FROM base),
+        scored AS (SELECT doc_id, lang, $scoreCols FROM toks),
+        best AS (SELECT doc_id, lang, $sNames, $mx AS mx FROM scored)
+        SELECT doc_id, lang AS labeled_lang,
+          CASE WHEN mx = 0 THEN 'und' $pick END AS pred_lang,
+          mx AS pred_score
+        FROM best"""
+  }
+
   /** Broadcast wordlist for the dictionary-lookup join demo. */
   val MatchDict: Seq[String] =
     Seq("red", "blue", "green", "small", "large", "widget", "bolt", "ring", "gear", "cable")
+
+  /** Per-partition kernels of the q_dedup_components fixpoint — a
+    * standalone serializable object so task closures reference it
+    * statically (`CCKernels.minFoldByKey`) instead of capturing the
+    * enclosing query lambda (which holds the non-serializable session). */
+  private[graft] object CCKernels extends Serializable {
+    import scala.collection.mutable.LongMap
+
+    /** Manual map-side combine: per-key min fold in an unboxed-key LongMap.
+      * Bounded by the 250k-edges/task partition sizing, so the map always
+      * fits (the reason the fixpoint can shun Spark's ExternalAppendOnlyMap
+      * combiners and their SizeTracker sampling cost entirely). */
+    def minFoldByKey(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+      val best = new LongMap[Long](1 << 12)
+      it.foreach { case (k, v) =>
+        if (v < best.getOrElse(k, Long.MaxValue)) best(k) = v
+      }
+      best.iterator
+    }
+
+    /** Materialize a co-partitioned label iterator for O(1) lookups.
+      * Lookups via `apply` throw on a missing key — every vertex is labeled
+      * by construction (symmetric edge set), so a miss is a real bug. */
+    def toLongMap(it: Iterator[(Long, Long)]): LongMap[Long] = {
+      val m = new LongMap[Long](1 << 12)
+      it.foreach { case (k, v) => m(k) = v }
+      m
+    }
+  }
 
   /** Write-once fixture for q_bucketed_join: the bucketed catalog tables are
     * the LAYOUT the query demonstrates, not part of its work — writing them
@@ -1365,6 +1514,36 @@ object SparkEntry {
             WHERE EXISTS (SELECT 1 FROM (VALUES $vals) d(dw) WHERE levenshtein(w, dw) <= 1))
           GROUP BY p_partkey"""
     },
+
+    "q_ratio_match" -> {
+      val vals = MatchDict.map(w => s"('$w')").mkString(",")
+      s"""WITH words AS (SELECT DISTINCT p_partkey, w FROM (
+              SELECT p_partkey, unnest(string_split(p_name, ' ')) AS w FROM part)),
+          scored AS (SELECT p_partkey, w, dw, levenshtein(w, dw)::BIGINT AS dist
+            FROM words CROSS JOIN (VALUES $vals) d(dw)),
+          ranked AS (SELECT p_partkey, w, dw, dist,
+              row_number() OVER (PARTITION BY p_partkey, w ORDER BY dist, dw) AS rk
+            FROM scored),
+          agg AS (SELECT p_partkey, w,
+              min(CASE WHEN rk = 1 THEN dw END) AS best_dw,
+              min(CASE WHEN rk = 1 THEN dist END) AS best_dist,
+              min(CASE WHEN rk = 2 THEN dist END) AS second_dist
+            FROM ranked WHERE rk <= 2 GROUP BY 1, 2)
+          SELECT p_partkey, w, best_dw, best_dist, second_dist
+          FROM agg WHERE best_dist * 10 < second_dist * 7"""
+    },
+
+    "x_extract_flagship" ->
+      s"SELECT * FROM read_parquet('$GoldenDir/x_extract_flagship.parquet')",
+
+    "x_extract_spans" ->
+      s"SELECT * FROM read_parquet('$GoldenDir/x_extract_spans.parquet')",
+
+    "x_sql_extract" ->
+      s"SELECT * FROM read_parquet('$GoldenDir/x_sql_extract.parquet')",
+
+    "x_extract_fields" ->
+      s"SELECT * FROM read_parquet('$GoldenDir/x_extract_fields.parquet')",
 
     "q_bucketed_join" ->
       "SELECT doc_id, lang, length(text) AS len FROM documents",
@@ -1761,6 +1940,8 @@ object SparkEntry {
     "q_fingerprint" ->
       s"""SELECT doc_id, ${oFp("text")} AS fp FROM documents""",
 
-    "q_langid_eval" -> oLangIdEval
+    "q_langid_eval" -> oLangIdEval,
+
+    "x_lang_id" -> oLangIdPerDoc
   )
 }

@@ -122,10 +122,16 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     * per micro-batch (readers union them; compaction folds them back to
     * one).
     *
+    * `forceReplace` lists buckets whose previous entries must be replaced
+    * even if this run wrote NO rows for them — the delete-only path of
+    * [[replaceWhere]] (a bucket left empty after a row-level delete must
+    * drop out of the manifest, not keep its stale entry).
+    *
     * @return Some(new snapshot id), or None if `extracted` was empty (no
-    *         data ⇒ no new snapshot; the manifest chain is unchanged). */
+    *         data ⇒ no new snapshot; the manifest chain is unchanged —
+    *         unless `forceReplace` demands a delete-only commit). */
   def commit(spark: SparkSession, extracted: Dataset[ExtractedTurn], runId: String,
-      replaceBuckets: Boolean = true): Option[Long] = {
+      replaceBuckets: Boolean = true, forceReplace: Set[Int] = Set.empty): Option[Long] = {
     import spark.implicits._
     val dataPath = s"$dir/data/run=$runId"
 
@@ -180,13 +186,14 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
         TsFmt.format(Instant.ofEpochMilli(s.minTs)),
         TsFmt.format(Instant.ofEpochMilli(s.maxTs)), schemaDdl)
     }
-    if (newEntries.isEmpty) return None
+    if (newEntries.isEmpty && forceReplace.isEmpty) return None
 
     // 3. MANIFEST SECOND: full committed set = parent's ∪ new.
     val parent = currentSnapshotId.getOrElse(-1L)
     val prev =
       if (replaceBuckets)
-        committedEntries(spark).filterNot(e => newEntries.exists(_.bucket == e.bucket))
+        committedEntries(spark).filterNot(e =>
+          forceReplace(e.bucket) || newEntries.exists(_.bucket == e.bucket))
       else committedEntries(spark)
     prev.find(e => e.schema.nonEmpty && e.schema != schemaDdl).foreach { e =>
       throw new IllegalStateException(
@@ -253,6 +260,46 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     val df = read(spark).as[graft.model.ExtractedTurn]
     commit(spark, df, runId)
       .getOrElse(sys.error(s"compact of empty table $dir"))
+  }
+
+  /** Row-level maintenance (the Iceberg delete/overwrite-where analog at
+    * bucket granularity — "reprocess one conversation after a bad kernel
+    * deploy" without a full-table compact): rewrites ONLY the buckets that
+    * own `convIds`. Survivors = those buckets' current rows minus the
+    * targeted conversations; `replacement` (possibly empty = pure delete)
+    * is unioned in and must itself belong to the rewritten buckets
+    * (validated — a stray row would otherwise vanish from a bucket this
+    * commit doesn't cover). Every other bucket's files are untouched
+    * (readers of the new snapshot keep pointing at the OLD file-sets), and
+    * the write is crash-safe under the existing data-first → manifest →
+    * CURRENT protocol: a crash at any point leaves the previous snapshot
+    * live and time travel intact.
+    *
+    * At 100 TB this is the point of the conv_id-bucketed layout: the
+    * rewrite cost is O(buckets touched), i.e. O(convIds), not O(table). */
+  def replaceWhere(spark: SparkSession, convIds: Seq[String],
+      replacement: Dataset[ExtractedTurn], runId: String): Option[Long] = {
+    import spark.implicits._
+    require(convIds.nonEmpty, "replaceWhere needs at least one conversation")
+    val buckets = convIds.map(bucketOfId).toSet
+    val entries = committedEntries(spark).filter(e => buckets(e.bucket))
+    require(entries.nonEmpty, s"none of buckets $buckets is committed in $dir")
+    val stray = replacement.toDF().withColumn("_b", bucketOf)
+      .filter(!col("_b").isin(buckets.toSeq: _*)).count()
+    require(stray == 0L,
+      s"$stray replacement row(s) hash outside the rewritten buckets $buckets")
+    val survivors = spark.read.parquet(entries.map(_.path): _*)
+      .where(!col("conv_id").isin(convIds: _*))
+      .as[ExtractedTurn]
+    commit(spark, survivors.unionByName(replacement), runId,
+      replaceBuckets = true, forceReplace = buckets)
+  }
+
+  /** Pure row-level delete: [[replaceWhere]] with no replacement rows. */
+  def deleteConversations(spark: SparkSession, convIds: Seq[String],
+      runId: String): Option[Long] = {
+    import spark.implicits._
+    replaceWhere(spark, convIds, spark.emptyDataset[ExtractedTurn], runId)
   }
 
   private def listDir(p: Path): Seq[Path] = {

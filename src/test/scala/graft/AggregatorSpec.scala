@@ -12,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class AggregatorSpec extends AnyFunSuite with SparkTestBase {
 
   test("SpanTextAgg: groupByKey + typed column restores reading order") {
-    import spark.implicits._
+    import testImplicits._
     val spans = Seq(
       ("c1", Span(2, 30, 40, "p", "third block")),
       ("c1", Span(0, 0, 10, "p", "first block")),
@@ -31,7 +31,7 @@ class AggregatorSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("OrderedConcatAgg: udaf equals the window/collect_list form") {
-    import spark.implicits._
+    import testImplicits._
     val df = Seq((1L, 2, "B"), (1L, 1, "A"), (1L, 2, "A"), (2L, 1, "C"))
       .toDF("k", "n", "flag").repartition(3)
     val agg = udaf(new OrderedConcatAgg, OrderedConcatAgg.lineEncoder)

@@ -13,7 +13,7 @@ import java.nio.file.Files
 class BucketedJoinSpec extends AnyFunSuite with SparkTestBase {
 
   test("join of two same-bucketed tables has no Exchange on either side") {
-    import spark.implicits._
+    import testImplicits._
     val base = Files.createTempDirectory("buck").toString
     val turns = TranscriptGen.dataset(spark, 42L, nConvs = 50, hotBase = 100)
     val perConv = turns.groupBy("conv_id")

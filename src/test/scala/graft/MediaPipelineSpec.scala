@@ -66,7 +66,7 @@ class MediaPipelineSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("synthesizeReal payloads decode with the REAL codec end-to-end in Spark") {
-    import spark.implicits._
+    import testImplicits._
     val docs = Seq(
       (0L, "an image doc"), (1L, "an audio doc"), (2L, "a video doc"),
       (3L, "another image"), (4L, "more audio here")
@@ -90,7 +90,7 @@ class MediaPipelineSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("binary payloads flow through the batch feature kernel deterministically") {
-    import spark.implicits._
+    import testImplicits._
     val docs = Seq(
       (0L, "an image payload here"),
       (1L, "an audio payload here"),
@@ -113,7 +113,7 @@ class MediaPipelineSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("schema carries binary column + typed metadata") {
-    import spark.implicits._
+    import testImplicits._
     val media: org.apache.spark.sql.DataFrame =
       MediaPipeline.synthesize(spark, Seq((7L, "xyz")).toDF("doc_id", "text")).toDF()
     val types = media.schema.fields.map(f => f.name -> f.dataType.typeName).toMap

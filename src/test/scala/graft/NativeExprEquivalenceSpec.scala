@@ -112,7 +112,7 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SparkTestBase {
 
   test("sorted_pairs enumerates exactly the a<b pairs of a list") {
     SF.register(spark)
-    import spark.implicits._
+    import testImplicits._
     val df = Seq((1L, Seq(5L, 2L, 9L, 2L + 1)), (2L, Seq(7L)), (3L, Seq.empty[Long]))
       .toDF("k", "ids")
     val out = df.select(col("k"), SF.sortedPairs(col("ids")).as("p")).collect()
@@ -125,7 +125,7 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SparkTestBase {
 
   test("sorted_pairs dedupes duplicate ids — never a degenerate (a,a) pair") {
     SF.register(spark)
-    import spark.implicits._
+    import testImplicits._
     val df = Seq((1L, Seq(4L, 4L, 4L, 7L, 7L, 1L))).toDF("k", "ids")
     val pairs = df.select(SF.sortedPairs(col("ids")).as("p")).collect()(0)
       .getSeq[org.apache.spark.sql.Row](0).map(p => (p.getLong(0), p.getLong(1)))

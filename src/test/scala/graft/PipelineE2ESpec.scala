@@ -37,7 +37,7 @@ class PipelineE2ESpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("stable ordering: whole sorted conversations per output partition") {
-    import spark.implicits._
+    import testImplicits._
     val turns = TranscriptGen.dataset(spark, seed, nConvs, hotBase, partitions = 5)
     val ordered = ExtractPipeline.run(spark, turns)
     val layout = ordered.mapPartitions { it =>
@@ -73,7 +73,7 @@ class PipelineE2ESpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("gates drop pathological payloads before the kernel") {
-    import spark.implicits._
+    import testImplicits._
     import java.sql.Timestamp
     val huge = "x" * 2000
     val rows = Seq(

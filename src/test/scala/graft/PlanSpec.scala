@@ -181,6 +181,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("ratio-test match scores against the broadcast bounded dictionary " +
+    "only (J1 shape) — never probe × probe") {
+    val p = planOf("q_ratio_match")
+    // the only nested-loop is probe × broadcast 10-word dict (bounded);
+    // a probe×probe loop would also appear as a second BNLJ or cartesian
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("chunking is a narrow per-row expansion — zero exchanges") {
     val p = planOf("q_chunk_overlap")
     assert(!p.contains("Exchange"), p)
@@ -232,7 +241,10 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
   test("quantile sketch: hash-threshold sample aggregates with map-side " +
     "partials — only the per-group sample crosses the one exchange") {
     val p = planOf("q_quantile_sketch")
-    assert(p.contains("partial_percentile") || p.contains("partial"), p)
+    // the SPECIFIC marker only: the percentile aggregate itself must run a
+    // map-side partial (a generic "partial" would match partial_count in any
+    // hash aggregate and could never fail — round-3 advice)
+    assert(p.contains("partial_percentile"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 

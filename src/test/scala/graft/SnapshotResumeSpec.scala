@@ -19,7 +19,7 @@ class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
   private val hotBase = 120
 
   test("kill-resume: partial commit + orphan files → exactly-once final output") {
-    import spark.implicits._
+    import testImplicits._
     val dir = Files.createTempDirectory("snap").toString
     val table = new SnapshotTable(dir, numBuckets = 8)
     val turns = TranscriptGen.dataset(spark, seed, nConvs, hotBase, partitions = 4)
@@ -58,7 +58,7 @@ class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("bucket-pruned conversation read touches only one bucket's files") {
-    import spark.implicits._
+    import testImplicits._
     val dir = Files.createTempDirectory("snap").toString
     val table = new SnapshotTable(dir, numBuckets = 8)
     val turns = TranscriptGen.dataset(spark, seed, 40, 80, partitions = 3)
@@ -74,7 +74,7 @@ class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("driver-side bucketOfId matches the SQL bucketOf expression") {
-    import spark.implicits._
+    import testImplicits._
     val table = new SnapshotTable("/tmp/unused", numBuckets = 8)
     val ids = (0 until 200).map(i => f"conv$i%06d")
     val sql = ids.toDF("conv_id").withColumn("b", table.bucketOf)
@@ -83,7 +83,7 @@ class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("compaction folds multi-run buckets into one run, preserving data") {
-    import spark.implicits._
+    import testImplicits._
     val dir = Files.createTempDirectory("snap").toString
     val table = new SnapshotTable(dir, numBuckets = 4)
     val turns = TranscriptGen.dataset(spark, seed, 30, 60, partitions = 2)
@@ -117,7 +117,7 @@ class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("expireSnapshots: old files gone, kept snapshots still time-travel, live reads unaffected") {
-    import spark.implicits._
+    import testImplicits._
     val dir = Files.createTempDirectory("snap").toString
     val table = new SnapshotTable(dir, numBuckets = 4)
     val turns = TranscriptGen.dataset(spark, seed, 30, 60, partitions = 2)
@@ -163,7 +163,7 @@ class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("readRange prunes file-sets by manifest ts stats before scanning") {
-    import spark.implicits._
+    import testImplicits._
     val dir = Files.createTempDirectory("snap").toString
     val table = new SnapshotTable(dir, numBuckets = 4)
     val turns = TranscriptGen.dataset(spark, seed, 30, 60, partitions = 2)
@@ -197,7 +197,7 @@ class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("commit refuses a schema change against kept entries; manifest records schema") {
-    import spark.implicits._
+    import testImplicits._
     val dir = Files.createTempDirectory("snap").toString
     val table = new SnapshotTable(dir, numBuckets = 4)
     val turns = TranscriptGen.dataset(spark, seed, 20, 40, partitions = 2)
@@ -224,8 +224,87 @@ class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
     assert(ex.getMessage.contains("schema change detected"))
   }
 
+  test("replaceWhere rewrites only the target conversation's bucket; " +
+    "other buckets' files untouched, time travel intact") {
+    import testImplicits._
+    val dir = Files.createTempDirectory("snap").toString
+    val table = new SnapshotTable(dir, numBuckets = 8)
+    val turns = TranscriptGen.dataset(spark, seed, 40, 80, partitions = 3)
+    ExtractJob.runIncremental(spark, table, turns, runId = "runFull")
+    val before = table.read(spark)
+      .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect().sorted
+    val entriesBefore = table.committedEntries(spark)
+    val filesBefore = entriesBefore.map(e =>
+      e.bucket -> spark.read.parquet(e.path).inputFiles.sorted.toSeq).toMap
+
+    // "bad kernel deploy" on one conversation: reprocess it with a fixed
+    // kernel (simulated by a text rewrite) and swap it in
+    val convId = "conv000007"
+    val b = table.bucketOfId(convId)
+    val replacement = ExtractPipeline
+      .extract(spark, turns.where(col("conv_id") === convId).as[graft.model.Turn])
+      .withColumn("text", concat(col("text"), lit("\nREPROCESSED")))
+      .as[graft.model.ExtractedTurn]
+    val snap = table.replaceWhere(spark, Seq(convId), replacement, runId = "runFix")
+    assert(snap.contains(1L))
+
+    // the fixed conversation reads back fixed; everything else is identical
+    val fixed = table.readConversation(spark, convId)
+      .select("text").as[String].collect()
+    assert(fixed.nonEmpty && fixed.forall(_.endsWith("\nREPROCESSED")))
+    val after = table.read(spark)
+      .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect().sorted
+    assert(after.length == before.length)
+    assert(after.filterNot(_._1 == convId)
+      .sameElements(before.filterNot(_._1 == convId)))
+
+    // every OTHER bucket still points at the ORIGINAL files (no rewrite)
+    val entriesAfter = table.committedEntries(spark)
+    entriesAfter.filterNot(_.bucket == b).foreach { e =>
+      assert(e.runId == "runFull", s"bucket ${e.bucket} was rewritten")
+      assert(spark.read.parquet(e.path).inputFiles.sorted.toSeq == filesBefore(e.bucket))
+    }
+    assert(entriesAfter.find(_.bucket == b).get.runId == "runFix")
+
+    // time travel: the pre-fix snapshot still serves the ORIGINAL text
+    val asOf0 = table.readAt(spark, 0L).where(col("conv_id") === convId)
+      .select("text").as[String].collect()
+    assert(asOf0.nonEmpty && asOf0.forall(!_.endsWith("\nREPROCESSED")))
+
+    // replacement rows hashing OUTSIDE the rewritten buckets are refused
+    val stray = ExtractPipeline.extract(spark,
+      turns.where(col("conv_id") =!= convId).limit(20).as[graft.model.Turn])
+    assertThrows[IllegalArgumentException](
+      table.replaceWhere(spark, Seq(convId), stray, runId = "runBad"))
+  }
+
+  test("deleteConversations drops an emptied bucket from the manifest") {
+    import testImplicits._
+    val dir = Files.createTempDirectory("snap").toString
+    val table = new SnapshotTable(dir, numBuckets = 8)
+    val nc = 40
+    val turns = TranscriptGen.dataset(spark, seed, nc, 80, partitions = 3)
+    ExtractJob.runIncremental(spark, table, turns, runId = "runFull")
+    val total = table.read(spark).count()
+
+    // empty out one bucket entirely: delete EVERY conversation that hashes
+    // to it (driver-side bucket math — no job needed to plan the delete)
+    val ids = (0 until nc).map(i => f"conv$i%06d")
+    val victim = ids.groupBy(table.bucketOfId).minBy(_._2.size)
+    val snap = table.deleteConversations(spark, victim._2, runId = "runDel")
+    assert(snap.contains(1L))
+    val entries = table.committedEntries(spark)
+    assert(!entries.exists(_.bucket == victim._1), "emptied bucket must drop out")
+    val remaining = table.read(spark)
+    assert(remaining.count() ==
+      total - victim._2.map(c => TranscriptGen.turnCount(c.drop(4).toInt, 80).toLong).sum)
+    assert(remaining.where(col("conv_id").isin(victim._2: _*)).count() == 0)
+    // time travel unaffected
+    assert(table.readAt(spark, 0L).count() == total)
+  }
+
   test("manifest carries lineage and per-bucket extraction metrics") {
-    import spark.implicits._
+    import testImplicits._
     val dir = Files.createTempDirectory("snap").toString
     val table = new SnapshotTable(dir, numBuckets = 4)
     val turns = TranscriptGen.dataset(spark, seed, 30, 60, partitions = 2)

@@ -22,7 +22,7 @@ class SpanShuffleSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("slim→shuffle→fatten round-trips exactly, incl. multi-byte and astral text") {
-    import spark.implicits._
+    import testImplicits._
     val turns = Seq(
       turn("c0", Seq(("p", "plain ascii"), ("h", "café naïve"), ("t", "𝕊𝕡𝕒𝕣𝕜 🚀 test"))),
       turn("c1", Seq(("p", ""))), // empty span text
@@ -42,7 +42,7 @@ class SpanShuffleSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("slim drops the text payload; tlen is the UTF-8 byte length") {
-    import spark.implicits._
+    import testImplicits._
     val ds = Seq(turn("c0", Seq(("k", "ab"), ("k", "héllo"), ("k", "🚀")))).toDS()
     SpanShuffle.register(spark)
     val slim = ds.toDF()

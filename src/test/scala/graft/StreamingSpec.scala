@@ -12,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
   test("micro-batch extraction matches the batch goldens per turn") {
-    import spark.implicits._
+    import testImplicits._
     implicit val sqlCtx = spark.sqlContext
     val goldens = TranscriptGen.corpus(42L, nConvs = 20, hotBase = 40).toVector
 
@@ -42,7 +42,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("streaming dedup (dropDuplicatesWithinWatermark) drops in-batch and cross-batch repeats") {
-    import spark.implicits._
+    import testImplicits._
     implicit val sqlCtx = spark.sqlContext
     val turns = TranscriptGen.corpus(7L, nConvs = 10, hotBase = 20).toVector.map(_.turn)
 
@@ -68,7 +68,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("snapshot sink: streaming batches land in the table; replayed batches are no-ops") {
-    import spark.implicits._
+    import testImplicits._
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("stream_snap").toString
     val table = new graft.table.SnapshotTable(s"$dir/table", numBuckets = 4)
@@ -99,7 +99,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("stateful sessionizer (flatMapGroupsWithState) flushes on size, conserves metrics") {
-    import spark.implicits._
+    import testImplicits._
     implicit val sqlCtx = spark.sqlContext
     val goldens = TranscriptGen.corpus(42L, nConvs = 12, hotBase = 40).toVector
 
@@ -134,7 +134,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("event-time sessionizer: watermark closes gap sessions, drops too-late rows") {
-    import spark.implicits._
+    import testImplicits._
     implicit val sqlCtx = spark.sqlContext
     // controlled event times: base turns from the generator, ts overridden
     val base = TranscriptGen.corpus(42L, nConvs = 4, hotBase = 12).toVector.map(_.turn)
@@ -181,7 +181,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("event-time sessionizer splits in-batch gaps and honors the size bound") {
-    import spark.implicits._
+    import testImplicits._
     implicit val sqlCtx = spark.sqlContext
     val base = TranscriptGen.corpus(7L, nConvs = 2, hotBase = 16).toVector.map(_.turn)
     // epoch offset: the engine's initial watermark is 0 and the late-row
@@ -210,7 +210,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("windowed metrics count every turn once under watermarking") {
-    import spark.implicits._
+    import testImplicits._
     implicit val sqlCtx = spark.sqlContext
     val goldens = TranscriptGen.corpus(42L, nConvs = 10, hotBase = 30).toVector
 
