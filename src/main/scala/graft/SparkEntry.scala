@@ -1157,6 +1157,59 @@ object SparkEntry {
         .select(col("doc_id"), call_function("text_fingerprint", col("text")).as("fp"))
     }),
 
+    "q_unigram_lm" -> ((s, dir) => {
+      // Unigram language-model SURPRISAL scoring — the cheap LM-quality
+      // signal (CCNet-style perplexity filtering reduced to its unigram
+      // core). Two passes with the bounded-model discipline: (1) corpus
+      // vocabulary counts, top-1024 heavy hitters kept (orderBy+limit →
+      // TakeOrderedAndProject: per-partition heaps, no global sort) and
+      // BROADCAST — the MODEL is small by construction, the corpus never
+      // shuffles for scoring; (2) per-token integer surprisal
+      // floor(log2(N / c)) computed as length(bin(N div c)) - 1 — EXACT in
+      // both engines (no float log anywhere), OOV tokens get c = 1 (max
+      // surprisal), then one map-side-combinable per-doc aggregate.
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val topv = vocab.orderBy(col("c").desc, col("w")).limit(1024)
+      val total = vocab.agg(sum(col("c")).as("n_total"))
+      toks
+        .join(broadcast(topv), Seq("w"), "left")
+        .crossJoin(broadcast(total))
+        .withColumn("cc", coalesce(col("c"), lit(1L)))
+        .withColumn("bits", length(bin(expr("n_total div cc"))) - 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"),
+          sum(col("bits")).cast("long").as("bits_total"))
+        .withColumn("bits_per_token",
+          round(col("bits_total").cast("double") / col("n_tokens"), 4))
+    }),
+
+    "q_pii_scrub" -> ((s, dir) => {
+      // PII SCRUBBING — detect + redact email/phone patterns, count per
+      // class (the pre-training hygiene pass). The synthetic corpus has no
+      // organic PII, so a deterministic doc_id-derived email+phone is
+      // INJECTED first (honest fixture); the operator itself is the real
+      // 100-TB shape: pure codegen'd per-row regex work, ZERO exchanges —
+      // scrubbing a petabyte is embarrassingly row-parallel. Regexes kept
+      // in the Java∩RE2 common subset so the DuckDB oracle is exact.
+      val emailRe = "[a-z0-9_]+@[a-z0-9]+\\.[a-z]+"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      t(s, dir, "documents")
+        .withColumn("txt", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("txt"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("txt"), lit(phoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(col("txt"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]").as("cleaned"))
+    }),
+
     "q_langid_eval" -> ((s, dir) => {
       // The LangId kernel's checkable twin (shrinks the no_oracle surface):
       // confusion counts of predicted vs generator-labeled language. The
@@ -1939,6 +1992,34 @@ object SparkEntry {
 
     "q_fingerprint" ->
       s"""SELECT doc_id, ${oFp("text")} AS fp FROM documents""",
+
+    "q_unigram_lm" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS w
+           FROM documents),
+         vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+         topv AS (SELECT w, c FROM (
+             SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM vocab)
+           WHERE rk <= 1024),
+         tot AS (SELECT sum(c)::BIGINT AS n_total FROM vocab),
+         scored AS (SELECT doc_id, coalesce(v.c, 1)::BIGINT AS cc,
+             CASE WHEN v.c IS NULL THEN 1 ELSE 0 END AS oov
+           FROM toks t LEFT JOIN topv v ON t.w = v.w)
+         SELECT doc_id, count(*) AS n_tokens, sum(oov)::BIGINT AS n_oov,
+           sum(length(bin(n_total // cc)) - 1)::BIGINT AS bits_total,
+           round(sum(length(bin(n_total // cc)) - 1)::DOUBLE / count(*), 4) AS bits_per_token
+         FROM scored CROSS JOIN tot GROUP BY doc_id""",
+
+    "q_pii_scrub" ->
+      """WITH d AS (SELECT doc_id,
+           text || ' contact user' || doc_id::VARCHAR || '@example.com or +1-555-' ||
+             lpad((doc_id % 10000)::VARCHAR, 4, '0') AS txt
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(txt, '[a-z0-9_]+@[a-z0-9]+\.[a-z]+'))::BIGINT AS n_emails,
+           len(regexp_extract_all(txt, '\+1-555-[0-9]{4}'))::BIGINT AS n_phones,
+           regexp_replace(regexp_replace(txt, '[a-z0-9_]+@[a-z0-9]+\.[a-z]+', '[EMAIL]', 'g'),
+             '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS cleaned
+         FROM d""",
 
     "q_langid_eval" -> oLangIdEval,
 

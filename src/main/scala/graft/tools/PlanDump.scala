@@ -20,7 +20,8 @@ object PlanDump {
     val names = Seq("q_gate_filter", "q_charset_proj", "q_broadcast_join",
       "q_dedup_jaccard", "q_dedup_minhash_pairs", "q_dedup_embed_lsh",
       "q_simhash_pairs", "q_knn_ivf", "q_hll_distinct", "q_cms_heavyhitters",
-      "q_asof_join", "q_moving_agg", "q_split_assign")
+      "q_asof_join", "q_moving_agg", "q_split_assign",
+      "q_ratio_match", "q_unigram_lm", "q_pii_scrub")
     val sb = new StringBuilder
     sb.append("# BENCH/PLANS — formatted physical plans (auto-written by graft.tools.PlanDump)\n\n")
     sb.append("Source of truth for these shapes is `PlanSpec` (asserted in CI);\n")

@@ -190,6 +190,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("unigram LM scoring: bounded model via TakeOrderedAndProject, " +
+    "broadcast to the corpus — the corpus never shuffles for scoring") {
+    val p = planOf("q_unigram_lm")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("PII scrub is a narrow per-row map — zero exchanges") {
+    val p = planOf("q_pii_scrub")
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("chunking is a narrow per-row expansion — zero exchanges") {
     val p = planOf("q_chunk_overlap")
     assert(!p.contains("Exchange"), p)
