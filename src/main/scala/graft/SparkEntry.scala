@@ -74,6 +74,14 @@ object SparkEntry {
     * shortest-round-trip decimal, so both engines hold the identical double. */
   private val HllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
 
+  /** HLL small-range (linear counting) table: entry z (1-based) =
+    * 256·ln(256/z). Same cross-engine discipline as [[HllAlphaM2]]: the
+    * doubles are computed ONCE here and fed to both engines as identical
+    * shortest-round-trip literals, so neither engine evaluates its own
+    * ln() — the estimate is bit-exact by construction. */
+  private val HllLinearCount: IndexedSeq[Double] =
+    (1 to 256).map(z => 256.0 * math.log(256.0 / z))
+
   /** IVF coarse-quantizer training constants (deterministic Lloyd's k-means
     * over scaled-integer vectors; see q_knn_ivf). IvfMaxTrain bounds the
     * driver-side training sample (FAISS-style); it exceeds every test SF's
@@ -498,6 +506,12 @@ object SparkEntry {
       // front amortizes over all rounds. (Measured at sf0.1: 1.4M raw edge
       // entries vs ~0.35M distinct — clique-heavy near-dup graphs make the
       // multiset blow-up the rule, not the exception.)
+      // dedup stays ON for the edge source — re-A/B'd after the round-4
+      // LongMap rewrite (BENCH/TUNING.md): dedup=false doubles the edge
+      // multiset (≤4-band duplicates) and with it the fixpoint's partition
+      // count and every round's propose scan — 3.5 s → 6.5 s warm at
+      // sf0.1. The up-front distinct (now over hamming-verified pairs
+      // only) is cheaper than re-traversing duplicates 6 rounds.
       val edges = simhashPairs(s, dir)
         .select(col("id_a"), col("id_b"))
       // The fixpoint runs ONLY over the edge-induced subgraph: a vertex with
@@ -693,9 +707,15 @@ object SparkEntry {
             + (lit(256) - count(lit(1)))).as("sum_exp"),
           (lit(256) - count(lit(1))).as("zeros"))
         .withColumn("raw", lit(HllAlphaM2) / col("sum_exp"))
+        // small-range (linear-counting) branch: 256·ln(256/zeros) looked up
+        // from [[HllLinearCount]] — a 256-entry table of Scala-computed
+        // doubles interpolated into BOTH engines as identical literals, so
+        // no engine-native ln() is ever evaluated (closes the one
+        // documented last-ulp cross-engine float risk in this query)
         .withColumn("hll_est",
           round(when(col("raw") <= 640 && col("zeros") > 0,
-            lit(256.0) * log(lit(256.0) / col("zeros"))).otherwise(col("raw")), 1))
+            element_at(array(HllLinearCount.map(lit): _*), col("zeros").cast("int")))
+            .otherwise(col("raw")), 1))
       val exact = words.groupBy(col("lang")).agg(countDistinct(col("w")).as("n_exact"))
       est.join(exact, "lang").select(col("lang"), col("hll_est"), col("n_exact"))
     }),
@@ -1756,7 +1776,8 @@ object SparkEntry {
           ex AS (SELECT lang, count(DISTINCT w) AS n_exact FROM wds GROUP BY 1)
           SELECT est.lang,
             round(CASE WHEN raw <= 640 AND zeros > 0
-                       THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 1) AS hll_est,
+                       THEN (${HllLinearCount.mkString("[", ", ", "]")})[zeros]
+                       ELSE raw END, 1) AS hll_est,
             n_exact
           FROM est JOIN ex ON est.lang = ex.lang""",
 
