@@ -13,8 +13,11 @@ import graft.pipe.ExtractPipeline
   * over the driver's parquet tables, each with an exact DuckDB oracle in
   * `oracleSql` (column names aligned — the driver hash-compares by sorted
   * column name). Extraction-kernel queries (prefix `x_`) have no SQL
-  * equivalent; they are oracled by the sbt golden suites instead and get the
-  * driver's rows-only check.
+  * RE-DERIVATION, but since round 4 they are hash-oracled anyway — against
+  * spec-derived golden parquet under [[GoldenDir]] (flagship/spans/
+  * sql_extract/fields) or a symbolic score re-derivation (x_lang_id);
+  * only x_media_features (binary codec decode) keeps the rows-only check,
+  * with its goldens in MediaPipelineSpec.
   *
   * Float policy: derived doubles are `round`-ed in BOTH engines. SUMs over
   * parquet DOUBLE columns are cast to DECIMAL before aggregating — exact and
@@ -29,6 +32,24 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Small-input fan-out guard for CPU-heavy per-row stages (tokenize →
+    * shingle → explode): those stages inherit the SCAN's split count, and
+    * an input smaller than one parquet row group yields fewer splits than
+    * cores — the whole tokenize stage runs as ONE hot task (measured:
+    * q_dedup_jaccard's posting build, 4.3 s single-task at sf0.1). When,
+    * and only when, the scan under-splits relative to the cluster, pay one
+    * tiny round-robin exchange — its bytes are the small input itself — to
+    * use every core; at real scale (thousands of splits) the condition is
+    * false and the plan is untouched. Used ONLY by queries whose plan
+    * already exchanges; the strictly-narrow queries (q_simhash,
+    * q_repetition_quality, q_chunk_overlap, q_split_assign, q_pii_scrub)
+    * stay exchange-free — that property IS their scale story and PlanSpec
+    * asserts it. */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
 
   /** Flagship: full extraction pipeline over the deterministic transcript
     * corpus (gates → salted shuffle → kernels → order restore). */
@@ -95,9 +116,14 @@ object SparkEntry {
     * minhash_sig expression (identical values to the former explode →
     * fingerprint → groupBy(min×16) plan, with NO explode and NO shuffle:
     * the signature stage is a narrow map over documents). */
-  private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+  private def minhashSignatures(s: SparkSession, dir: String,
+      fan: Boolean = false): DataFrame = {
     SF.register(s)
-    t(s, dir, "documents")
+    // fan=true for consumers whose plan already exchanges (band joins):
+    // see [[fanOut]]. The bare q_minhash_sig face stays narrow — its
+    // zero-shuffle signature pass is the point being demonstrated.
+    val src = if (fan) fanOut(t(s, dir, "documents")) else t(s, dir, "documents")
+    src
       .withColumn("w", TF.tokens(col("text"))) // materialize words ONCE per row
       .withColumn("sig", SF.minhashSig(col("w")))
       .select(col("doc_id") +: (0 until minhashK).map(k => col("sig").getItem(k).as(s"h$k")): _*)
@@ -108,7 +134,7 @@ object SparkEntry {
     * band key — never a quadratic pair enumeration. Shared by
     * q_dedup_minhash_pairs (verification) and q_minhash_accuracy (eval). */
   private def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(s, dir)
+    val sig = minhashSignatures(s, dir, fan = true)
     val bandStructs = array((0 until 4).map { j =>
       struct(lit(j).as("band"),
         concat_ws("_", (0 until 4).map(r => col(s"h${4 * j + r}")): _*).as("key"))
@@ -129,10 +155,13 @@ object SparkEntry {
     * signature stage is a narrow map; NativeExprEquivalenceSpec pins it
     * value-identical to the explode → 64-aggregate declarative form).
     * Shared by q_simhash and q_simhash_pairs so semantics can't drift. */
-  private def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+  private def simhashSignatures(s: SparkSession, dir: String,
+      fan: Boolean = false): DataFrame = {
     SF.register(s)
-    t(s, dir, "documents")
-      .select(col("doc_id"), SF.simhashSig(TF.tokens(col("text"))).as("simhash"))
+    // fan: same discipline as [[minhashSignatures]] — q_simhash stays
+    // narrow (PlanSpec asserts zero exchanges), band-join consumers fan
+    val src = if (fan) fanOut(t(s, dir, "documents")) else t(s, dir, "documents")
+    src.select(col("doc_id"), SF.simhashSig(TF.tokens(col("text"))).as("simhash"))
   }
 
   /** Hamming near-dup pairs via SimHash banding — EXACT by pigeonhole: 4
@@ -143,7 +172,7 @@ object SparkEntry {
     * q_simhash_pairs and q_dedup_components. */
   private def simhashPairs(s: SparkSession, dir: String,
       dedup: Boolean = true): DataFrame = {
-    val sig = simhashSignatures(s, dir)
+    val sig = simhashSignatures(s, dir, fan = true)
     val bandStructs = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L)).as("key"))
@@ -404,7 +433,7 @@ object SparkEntry {
       // capped shingle sets. No all-pairs join anywhere: only docs sharing
       // a rare shingle ever meet.
       SF.register(s)
-      val docs = t(s, dir, "documents")
+      val docs = fanOut(t(s, dir, "documents"))
         .withColumn("w", TF.tokens(col("text")))
         .select(col("doc_id"), col("lang"), col("source"), SF.shinglesF(col("w")).as("sh"))
       val posting = docs
@@ -434,7 +463,7 @@ object SparkEntry {
       // key — the scale path: no quadratic pair enumeration), then exact
       // shingle-Jaccard verification on the candidates only.
       val cands = minhashCandidates(s, dir)
-      val sh = t(s, dir, "documents")
+      val sh = fanOut(t(s, dir, "documents"))
         .withColumn("w", TF.tokens(col("text")))
         .select(col("doc_id"), SF.shinglesF(col("w")).as("sh"))
       val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
@@ -455,7 +484,7 @@ object SparkEntry {
       // error arithmetic is identical in both engines, so the comparison
       // is hash-exact.
       val sig = minhashSignatures(s, dir)
-      val sh = t(s, dir, "documents")
+      val sh = fanOut(t(s, dir, "documents"))
         .withColumn("w", TF.tokens(col("text")))
         .select(col("doc_id"), SF.shinglesF(col("w")).as("sh"))
       val nMatch = (0 until minhashK)
@@ -691,7 +720,7 @@ object SparkEntry {
       // (the exact distinct count) rides along as the quality twin.
       TextFingerprint.register(s)
       SF.register(s)
-      val words = t(s, dir, "documents")
+      val words = fanOut(t(s, dir, "documents"))
         .select(col("lang"),
           explode(SF.shinglesF(TF.tokens(col("text")))).as("w"))
       val regs = words
@@ -883,7 +912,7 @@ object SparkEntry {
       // if the eval set can grow, drop the hint and let AQE pick the
       // strategy from the actual build-side size.
       SF.register(s)
-      val docs = t(s, dir, "documents")
+      val docs = fanOut(t(s, dir, "documents"))
         .withColumn("w", TF.tokens(col("text")))
         .select(col("doc_id"), SF.shinglesF(col("w")).as("sh"))
       val bench = docs.filter(col("doc_id") % 41 === 0)
@@ -1015,7 +1044,7 @@ object SparkEntry {
       // All-integer arithmetic: bit-identical in the DuckDB oracle, which
       // carries the exact counts (n_exact) as the quality twin.
       TextFingerprint.register(s)
-      val toks = t(s, dir, "documents")
+      val toks = fanOut(t(s, dir, "documents"))
         .select(explode(TF.tokens(col("text"))).as("w"))
         .withColumn("fp", call_function("text_fingerprint", col("w")))
       val cellStructs = array((0 until 4).map { k =>
@@ -1188,7 +1217,7 @@ object SparkEntry {
       // floor(log2(N / c)) computed as length(bin(N div c)) - 1 — EXACT in
       // both engines (no float log anywhere), OOV tokens get c = 1 (max
       // surprisal), then one map-side-combinable per-doc aggregate.
-      val toks = t(s, dir, "documents")
+      val toks = fanOut(t(s, dir, "documents"))
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
       val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
       val topv = vocab.orderBy(col("c").desc, col("w")).limit(1024)
