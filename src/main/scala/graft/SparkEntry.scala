@@ -1221,7 +1221,12 @@ object SparkEntry {
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
       val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
       val topv = vocab.orderBy(col("c").desc, col("w")).limit(1024)
-      val total = vocab.agg(sum(col("c")).as("n_total"))
+      // N = corpus token count — a NARROW sum over documents (size of the
+      // token array per row), not a second pass over the vocab aggregate:
+      // the groupBy(w) shuffle is the expensive stage and runs ONCE (for
+      // the top-K model only). Same value as sum(vocab.c) by definition.
+      val total = t(s, dir, "documents")
+        .agg(sum(size(TF.tokens(col("text")))).cast("long").as("n_total"))
       toks
         .join(broadcast(topv), Seq("w"), "left")
         .crossJoin(broadcast(total))
