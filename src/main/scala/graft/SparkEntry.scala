@@ -1264,6 +1264,85 @@ object SparkEntry {
             phoneRe, "[PHONE]").as("cleaned"))
     }),
 
+    "q_tfidf_topterms" -> ((s, dir) => {
+      // TF-IDF TOP-TERMS per document — the classic salient-term extractor
+      // (topic tagging / keyword indexing over a web corpus). All
+      // INTEGER-exact: idf is the floor-log2 trick from q_unigram_lm
+      // (length(bin(N div df)) - 1 — no float log in either engine), score
+      // = tf × idf_bits in BIGINT. Scale shape: df is derived from the
+      // (doc,term) TF AGGREGATE, never a second pass over raw tokens; both
+      // groupBys get map-side partial aggregation; N is a 1-row broadcast;
+      // the per-doc top-3 window is bounded by document vocabulary (never a
+      // corpus-global sort). The tf⋈df join shuffles on the term key —
+      // AQE handles stopword-term skew at scale.
+      val toks = fanOut(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
+      val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val win = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("w"))
+      tf.join(dfreq, Seq("w"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("idf_bits",
+          (length(bin(expr("n_docs div df"))) - 1).cast("long"))
+        .withColumn("score", col("tf") * col("idf_bits"))
+        .withColumn("rk", row_number().over(win))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("w"), col("tf"), col("df"),
+          col("score"))
+    }),
+
+    "q_paragraph_dedup" -> ((s, dir) => {
+      // PARAGRAPH-level exact dedup with in-order reassembly — the
+      // RefinedWeb/CCNet hygiene op that strips boilerplate blocks
+      // (headers, nav bars, license banners) REPEATED ACROSS documents
+      // while keeping each document's residual text coherent. The corpus
+      // has no organic paragraph breaks, so segmentation is a deterministic
+      // 16-token blocking (an input detail — a real pipeline splits on
+      // \n\n); the OPERATOR is the interesting part:
+      //   (1) explode segments with position,
+      //   (2) global first-occurrence election per segment via
+      //       groupBy(seg).agg(min(struct(doc_id, seg_idx))) — map-side
+      //       partial aggregation means a hot boilerplate segment sends ≤ 1
+      //       row per map task across the shuffle (a window row_number here
+      //       would funnel ALL occurrences of a hot segment into one
+      //       reducer — the skew trap),
+      //   (3) join-back + keep only the electee (AQE splits any skewed
+      //       join partition), and
+      //   (4) ordered reassembly per doc (array_sort over collected
+      //       (idx, seg) structs — one bounded in-group sort).
+      // Every doc survives with n_kept ≥ 0 (left join), so downstream
+      // accounting sees drops explicitly rather than losing rows.
+      val segLen = 16
+      val base = fanOut(t(s, dir, "documents"))
+        .select(col("doc_id"), TF.tokens(col("text")).as("w"))
+        .withColumn("n_segs",
+          expr(s"cast((size(w) + ${segLen - 1}) div $segLen AS BIGINT)"))
+      val segs = base.select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(cast(0 AS BIGINT), n_segs - 1),
+           |  i -> array_join(slice(w, cast(i * $segLen + 1 AS INT), $segLen), ' '))"""
+          .stripMargin)))
+        .toDF("doc_id", "seg_idx", "seg")
+      val firsts = segs.groupBy(col("seg"))
+        .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+        .select(col("seg"), col("first.doc_id").as("f_doc"),
+          col("first.seg_idx").as("f_idx"))
+      val kept = segs.join(firsts, Seq("seg"))
+        .filter(col("doc_id") === col("f_doc") &&
+          col("seg_idx") === col("f_idx"))
+      val reassembled = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            e => e.getField("seg"))).as("cleaned_text"))
+      base.select(col("doc_id"), col("n_segs"))
+        .join(reassembled, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+    }),
+
     "q_langid_eval" -> ((s, dir) => {
       // The LangId kernel's checkable twin (shrinks the no_oracle surface):
       // confusion counts of predicted vs generator-labeled language. The
@@ -2075,6 +2154,39 @@ object SparkEntry {
            regexp_replace(regexp_replace(txt, '[a-z0-9_]+@[a-z0-9]+\.[a-z]+', '[EMAIL]', 'g'),
              '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS cleaned
          FROM d""",
+
+    "q_tfidf_topterms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS w
+           FROM documents),
+         tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, w),
+         df AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w),
+         nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         scored AS (SELECT t.doc_id, t.w, t.tf, d.df,
+             (length(bin(n_docs // d.df)) - 1)::BIGINT AS idf_bits
+           FROM tf t JOIN df d USING (w) CROSS JOIN nd),
+         ranked AS (SELECT doc_id, w, tf, df, (tf * idf_bits)::BIGINT AS score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tf * idf_bits DESC, w) AS rk
+           FROM scored)
+         SELECT doc_id, rk::INT AS rk, w, tf, df, score FROM ranked WHERE rk <= 3""",
+
+    "q_paragraph_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+           FROM documents),
+         base AS (SELECT doc_id, w, ((len(w) + 15) // 16)::BIGINT AS n_segs FROM toks),
+         idx AS (SELECT doc_id, w, unnest(range(0, n_segs))::BIGINT AS i FROM base),
+         segs AS (SELECT doc_id, i AS seg_idx,
+             array_to_string(w[(i*16+1):(i*16+16)], ' ') AS seg
+           FROM idx),
+         ranked AS (SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rk
+           FROM segs),
+         kept AS (SELECT doc_id, seg_idx, seg FROM ranked WHERE rk = 1),
+         agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+             string_agg(seg, ' ' ORDER BY seg_idx) AS cleaned_text
+           FROM kept GROUP BY doc_id)
+         SELECT b.doc_id, b.n_segs, coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+           coalesce(a.cleaned_text, '') AS cleaned_text
+         FROM base b LEFT JOIN agg a USING (doc_id)""",
 
     "q_langid_eval" -> oLangIdEval,
 

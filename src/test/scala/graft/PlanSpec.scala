@@ -261,6 +261,32 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("tf-idf top-terms: df comes off the tf AGGREGATE (partial-agg'd), " +
+    "N is a 1-row broadcast, the top-3 window is per-doc") {
+    val p = planOf("q_tfidf_topterms")
+    // both groupBys (tf, then df-over-tf) run map-side partials
+    assert(p.contains("partial_count"), p)
+    // the corpus-size scalar joins as a broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // per-doc ranking window is partitioned (the global sweep also checks
+    // this, but assert locally so a refactor fails HERE with context)
+    assert(p.contains("Window"), p)
+  }
+
+  test("paragraph dedup: first-occurrence election is a partial-agg'd " +
+    "min-struct groupBy, NOT a window over the segment key (a hot " +
+    "boilerplate segment must not funnel into one reducer)") {
+    val df = SparkEntry.queries("q_paragraph_dedup")(spark, sf)
+    // no Window anywhere: the election is min(struct(doc_id, seg_idx))
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_min"), p)
+    // join-back on the segment key is hash-joinable, never all-pairs
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the relational operator queries") {
     // executedPlan.toString marks codegen'd subtrees with "*(n)"; under AQE
     // the final plan only materializes after execution
