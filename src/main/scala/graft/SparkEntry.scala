@@ -1343,6 +1343,32 @@ object SparkEntry {
           coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
     }),
 
+    "q_mix_rebalance" -> ((s, dir) => {
+      // Domain-MIXTURE REBALANCING — the two-phase sampling op that evens a
+      // source-skewed corpus toward a target mixture (here: uniform,
+      // downsample-every-source-to-the-min policy). Unlike
+      // q_stratified_sample (rates fixed a priori), the rates are COMPUTED
+      // FROM THE DATA: phase 1 aggregates per-source counts (map-side
+      // partials, |sources| rows), phase 2 joins that tiny rate table back
+      // as a BROADCAST — the corpus never shuffles for its accept decision.
+      // Membership is hash-deterministic (portable fingerprint), so the
+      // sample is reproducible on any engine/ordering: accept iff
+      // pmod(fp(doc_id), n_total) < n_target — integer-exact, expected
+      // n_target survivors per source.
+      TextFingerprint.register(s)
+      val docs = t(s, dir, "documents")
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      val target = counts.agg(min(col("n_total")).as("n_target"))
+      val rates = counts.crossJoin(broadcast(target))
+      docs.select(col("source"), col("doc_id"))
+        .join(broadcast(rates), Seq("source"))
+        .withColumn("accept",
+          pmod(call_function("text_fingerprint", col("doc_id").cast("string")),
+            col("n_total")) < col("n_target"))
+        .groupBy(col("source"), col("n_total"), col("n_target"))
+        .agg(sum(when(col("accept"), 1L).otherwise(0L)).as("n_sampled"))
+    }),
+
     "q_langid_eval" -> ((s, dir) => {
       // The LangId kernel's checkable twin (shrinks the no_oracle surface):
       // confusion counts of predicted vs generator-labeled language. The
@@ -2187,6 +2213,19 @@ object SparkEntry {
          SELECT b.doc_id, b.n_segs, coalesce(a.n_kept, 0)::BIGINT AS n_kept,
            coalesce(a.cleaned_text, '') AS cleaned_text
          FROM base b LEFT JOIN agg a USING (doc_id)""",
+
+    "q_mix_rebalance" -> {
+      val fp = oFpBody.format("cast(doc_id AS VARCHAR)", "cast(doc_id AS VARCHAR)")
+      s"""WITH c AS (SELECT source, count(*)::BIGINT AS n_total
+            FROM documents GROUP BY source),
+          m AS (SELECT min(n_total)::BIGINT AS n_target FROM c),
+          d AS (SELECT d.source, c.n_total, m.n_target,
+              CASE WHEN ((($fp % c.n_total) + c.n_total) % c.n_total) < m.n_target
+                   THEN 1 ELSE 0 END AS acc
+            FROM documents d JOIN c USING (source) CROSS JOIN m)
+          SELECT source, n_total, n_target, sum(acc)::BIGINT AS n_sampled
+          FROM d GROUP BY source, n_total, n_target"""
+    },
 
     "q_langid_eval" -> oLangIdEval,
 
