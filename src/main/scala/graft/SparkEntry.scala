@@ -15,9 +15,9 @@ import graft.pipe.ExtractPipeline
   * column name). Extraction-kernel queries (prefix `x_`) have no SQL
   * RE-DERIVATION, but since round 4 they are hash-oracled anyway — against
   * spec-derived golden parquet under [[GoldenDir]] (flagship/spans/
-  * sql_extract/fields) or a symbolic score re-derivation (x_lang_id);
-  * only x_media_features (binary codec decode) keeps the rows-only check,
-  * with its goldens in MediaPipelineSpec.
+  * sql_extract/fields/media_features) or a symbolic score re-derivation
+  * (x_lang_id) — every driver query now carries a full
+  * rows+schema+hash oracle.
   *
   * Float policy: derived doubles are `round`-ed in BOTH engines. SUMs over
   * parquet DOUBLE columns are cast to DECIMAL before aggregating — exact and
@@ -1384,15 +1384,13 @@ object SparkEntry {
     }),
 
     // -------------------------------------------------- extraction engine
-    // The kernels have no SQL re-derivation, but five of the six queries
-    // now carry FULL hash oracles anyway: flagship/spans/sql_extract/fields
-    // against spec-derived golden parquet locked under [[GoldenDir]] (see
-    // GoldenDump/GoldenParquetSpec; the driver's DuckDB reads it via
-    // read_parquet — the north rule's per-turn text equality, hash-checked
-    // by the driver), and x_lang_id against a symbolic per-doc score
-    // re-derivation ([[oLangIdPerDoc]]). Only x_media_features stays
-    // rows-only (binary codec decode; MediaPipelineSpec carries its
-    // hand-computed goldens).
+    // The kernels have no SQL re-derivation, but ALL six queries now carry
+    // FULL hash oracles anyway: flagship/spans/sql_extract/fields/
+    // media_features against spec-derived golden parquet locked under
+    // [[GoldenDir]] (see GoldenDump/GoldenParquetSpec; the driver's DuckDB
+    // reads it via read_parquet — the north rule's per-turn text equality,
+    // hash-checked by the driver), and x_lang_id against a symbolic
+    // per-doc score re-derivation ([[oLangIdPerDoc]]).
     "x_extract_flagship" -> ((s, _) => {
       ExtractPipeline.run(s, TranscriptGen.dataset(s, 42L, nConvs = 80, hotBase = 200))
         .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
@@ -1404,8 +1402,13 @@ object SparkEntry {
       // multimodal: binary payload column + typed metadata → mapPartitions
       // batch decode with the REAL pure-JVM codec (BMP pixel luma, WAV PCM
       // RMS, GVF frame-sampled luma — BinaryMedia.RealCodec); payloads are
-      // genuine encoded bytes, synthesized deterministically from the docs
-      val media = graft.multimodal.MediaPipeline.synthesizeReal(s, t(s, dir, "documents"))
+      // genuine encoded bytes, synthesized deterministically from the
+      // fixed mediaDocs corpus (id-derived text, independent of the sf
+      // dir) — which makes the spec-derived golden parquet a valid hash
+      // oracle at every scale factor (features are computed there from
+      // the SOURCE pixel/sample values, never by running this codec)
+      val media = graft.multimodal.MediaPipeline.synthesizeReal(
+        s, graft.multimodal.MediaPipeline.mediaDocs(s))
       graft.multimodal.MediaPipeline.extractFeatures(s, media,
           graft.multimodal.BinaryMedia.RealCodec)
         .toDF().withColumn("meanLuma", round(col("meanLuma"), 4))
@@ -1756,6 +1759,9 @@ object SparkEntry {
 
     "x_extract_fields" ->
       s"SELECT * FROM read_parquet('$GoldenDir/x_extract_fields.parquet')",
+
+    "x_media_features" ->
+      s"SELECT * FROM read_parquet('$GoldenDir/x_media_features.parquet')",
 
     "q_bucketed_join" ->
       "SELECT doc_id, lang, length(text) AS len FROM documents",

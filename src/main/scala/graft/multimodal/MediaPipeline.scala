@@ -76,6 +76,21 @@ object MediaPipeline {
     media.mapPartitions { it => it.map(codec.decodeFeatures) }
   }
 
+  /** Text of row `id` of the deterministic media demo corpus — the SINGLE
+    * definition both the query input ([[mediaDocs]]) and the spec-derived
+    * golden (tools.GoldenDump) seed their byte streams from. Pure function
+    * of the id: no dependence on any external table, so the golden oracle
+    * is valid at every scale factor. */
+  def mediaDocText(id: Long): String =
+    s"media doc $id seed ${java.lang.Long.toHexString(id * 2654435761L + 40503L)}"
+
+  /** Deterministic (doc_id, text) corpus for the media demo query. */
+  def mediaDocs(spark: SparkSession, n: Int = 500): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, mediaDocText(i.toLong)))
+      .toDF("doc_id", "text").repartition(spark.sparkContext.defaultParallelism)
+  }
+
   /** Deterministic media table with REAL decodable payloads: 24-bpp BMP
     * images (5×4, padding path exercised), 16-bit mono PCM WAV audio, and
     * GVF frame-container video — pixel/sample values derived from a rolling

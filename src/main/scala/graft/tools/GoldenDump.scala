@@ -62,11 +62,67 @@ object GoldenDump {
         }
       }.toSeq.toDF("conv_id", "turn_idx", "field", "value")
 
+    // x_media_features: the media demo corpus is id-derived
+    // (MediaPipeline.mediaDocText) and the payload byte streams replay the
+    // synthesis PRNG; the EXPECTED features are computed HERE from the
+    // SOURCE pixel/sample values by the published format semantics
+    // (Rec.601 integer-per-mille luma, RMS over 16-bit PCM) —
+    // BinaryMedia's encoder/decoder never runs in this builder, so an
+    // encode- or decode-side bug surfaces as a golden mismatch. Every
+    // feature is an integer accumulation + one final IEEE division (+
+    // sqrt), replicated op-for-op against the decoder: bit-exact, and the
+    // display rounding below is the query's own round(·, 4).
+    import org.apache.spark.sql.functions.{col, round}
+    val media = (0 until 500).map { i =>
+      val id = i.toLong
+      var h = 1125899906842597L
+      graft.multimodal.MediaPipeline.mediaDocText(id).foreach(c => h = 31 * h + c)
+      def next(): Int = {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        ((h >>> 33) & 0xff).toInt
+      }
+      def lumaOf(rgb: IndexedSeq[Int]): Double = {
+        var sum = 0L
+        var p = 0
+        while (p < 20) {
+          sum += 299L * rgb(3 * p) + 587L * rgb(3 * p + 1) + 114L * rgb(3 * p + 2)
+          p += 1
+        }
+        sum.toDouble / (20L * 1000L * 255L)
+      }
+      (i % 3) match {
+        case 0 => // 5×4 24-bpp BMP: 14+40 header + 16-byte stride × 4 rows
+          val rgb = IndexedSeq.fill(60)(next())
+          (id, "image", 118, lumaOf(rgb), 0, 0.0)
+        case 1 => // 240 16-bit mono PCM samples: 44-byte RIFF header + 480
+          var sumSq = 0L
+          var k = 0
+          while (k < 240) {
+            val hi = next()
+            val lo = next() // synthesis builds each sample hi-byte first
+            val sv = ((hi << 8) | lo).toShort.toLong
+            sumSq += sv * sv
+            k += 1
+          }
+          (id, "audio", 524, 0.0, 0, math.sqrt(sumSq.toDouble / 240) / 32768.0)
+        case _ => // GVF: 8-byte header + 3 × (4-byte length + 118-byte BMP);
+          // frame-sampling decodes frames 0 and 2 (every 2nd of 3)
+          val f0 = IndexedSeq.fill(60)(next())
+          val skipped = IndexedSeq.fill(60)(next()) // frame 1: generated, unsampled
+          val f2 = IndexedSeq.fill(60)(next())
+          require(skipped.length == 60)
+          (id, "video", 374, (0.0 + lumaOf(f0) + lumaOf(f2)) / 2, 3, 0.0)
+      }
+    }.toSeq.toDF("media_id", "kind", "n_bytes", "meanLuma", "frameCount", "rmsLevel")
+      .withColumn("meanLuma", round(col("meanLuma"), 4))
+      .withColumn("rmsLevel", round(col("rmsLevel"), 4))
+
     Seq(
       "x_extract_flagship" -> flagship,
       "x_extract_spans" -> spans,
       "x_sql_extract" -> sqlExtract,
-      "x_extract_fields" -> fields)
+      "x_extract_fields" -> fields,
+      "x_media_features" -> media)
   }
 
   /** Write `df` as exactly ONE parquet file at `target` (a file path, not a

@@ -41,4 +41,14 @@ class GoldenParquetSpec extends AnyFunSuite with SparkTestBase {
     val golden = spark.read.parquet(s"${SparkEntry.GoldenDir}/x_extract_flagship.parquet")
     assert(canonRows(q) == canonRows(golden), "flagship query vs golden parquet")
   }
+
+  test("media features query (real encode→decode round-trip) equals the " +
+    "source-value-derived golden") {
+    // The golden computes expected luma/RMS from the synthesis PRNG's
+    // SOURCE pixel/sample values (GoldenDump never calls BinaryMedia), so
+    // equality here proves the encoder and decoder round-trip bit-exactly.
+    val q = SparkEntry.queries("x_media_features")(spark, "unused")
+    val golden = spark.read.parquet(s"${SparkEntry.GoldenDir}/x_media_features.parquet")
+    assert(canonRows(q) == canonRows(golden), "media query vs golden parquet")
+  }
 }
