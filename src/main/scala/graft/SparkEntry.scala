@@ -1277,7 +1277,17 @@ object SparkEntry {
       // AQE handles stopword-term skew at scale.
       val toks = fanOut(t(s, dir, "documents"))
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
+      // tf feeds TWO consumers (the scoring join and the df aggregate).
+      // Without materialization Catalyst prunes the df branch's copy to a
+      // bare distinct, its exchange stops being identical to the scoring
+      // branch's, ReuseExchange can't fire — and the expensive
+      // tokenize+explode stage runs TWICE (measured: 2× 3 s at sf0.1).
+      // localCheckpoint materializes the small (doc,term,tf) aggregate once
+      // (memory+disk, lineage-truncated) so both consumers read it — the
+      // standard multi-consumer-intermediate discipline at scale, where a
+      // second pass over the raw token stream is the dominant cost.
       val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
       val win = Window.partitionBy(col("doc_id"))
