@@ -1317,13 +1317,17 @@ object SparkEntry {
       //       partial aggregation means a hot boilerplate segment sends ≤ 1
       //       row per map task across the shuffle (a window row_number here
       //       would funnel ALL occurrences of a hot segment into one
-      //       reducer — the skew trap),
-      //   (3) join-back + keep only the electee (AQE splits any skewed
-      //       join partition), and
-      //   (4) ordered reassembly per doc (array_sort over collected
+      //       reducer — the skew trap). The electees ARE the kept
+      //       occurrences — no join-back to the segment stream is needed
+      //       (that join would also force a second corpus-wide
+      //       tokenize+explode pass, since its exchange can't unify with
+      //       the election's partial-agg'd one), and
+      //   (3) ordered reassembly per doc (array_sort over collected
       //       (idx, seg) structs — one bounded in-group sort).
-      // Every doc survives with n_kept ≥ 0 (left join), so downstream
-      // accounting sees drops explicitly rather than losing rows.
+      // Every doc survives with n_kept ≥ 0 (left join against the narrow
+      // per-doc segment counts — size arithmetic only, no second explode),
+      // so downstream accounting sees drops explicitly rather than losing
+      // rows. ONE heavy corpus pass total.
       val segLen = 16
       val base = fanOut(t(s, dir, "documents"))
         .select(col("doc_id"), TF.tokens(col("text")).as("w"))
@@ -1334,13 +1338,10 @@ object SparkEntry {
            |  i -> array_join(slice(w, cast(i * $segLen + 1 AS INT), $segLen), ' '))"""
           .stripMargin)))
         .toDF("doc_id", "seg_idx", "seg")
-      val firsts = segs.groupBy(col("seg"))
+      val kept = segs.groupBy(col("seg"))
         .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
-        .select(col("seg"), col("first.doc_id").as("f_doc"),
-          col("first.seg_idx").as("f_idx"))
-      val kept = segs.join(firsts, Seq("seg"))
-        .filter(col("doc_id") === col("f_doc") &&
-          col("seg_idx") === col("f_idx"))
+        .select(col("first.doc_id").as("doc_id"),
+          col("first.seg_idx").as("seg_idx"), col("seg"))
       val reassembled = kept.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_kept"),
           concat_ws(" ", transform(
