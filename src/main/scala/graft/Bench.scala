@@ -128,6 +128,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // Window scout: print just the two host-retention probes (~1 min) so a
+    // full 15-min scaling sample is only spent on windows where the shared
+    // memory bus isn't already saturated by co-tenants.
+    if (sys.env.contains("SPARK_GRAFT_PROBE_ONLY")) {
+      val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt * 4
+      println(f"""{"probe_cores":$n,"host_retention":${hostRetention(n)}%.3f,""" +
+        f""""mem_retention":${memRetention(n)}%.3f}""")
+      return
+    }
     // Scaling pair N → 4N. Default N=4 (→16): calibration shows this box's
     // 32 logical cpus are ~16 physical (per-core throughput drops ~30% past
     // 16 procs even for pure-CPU work), so 8→32 cannot evidence code-level
