@@ -93,7 +93,16 @@ final case class ExtractConfig(
     lineHeight: Int = 10,
     /** F2 confidence gate: turns whose dialect classification scored below
       * this are dropped (reference gate `idcardprocesser.py:135`, `< 0.3`). */
-    minClassifyScore: Double = 0.3
+    minClassifyScore: Double = 0.3,
+    /** Poison-row policy. Default (false): a kernel exception QUARANTINES
+      * the turn — counted in Metrics.turnsFailed and dropped by the F2 gate
+      * — instead of failing the task, because at 10^12-turn scale one
+      * pathological payload must not kill a multi-hour job after its 4 task
+      * retries (the kernels are total functions by design, but that is an
+      * inspection-time property, not a runtime guarantee for future
+      * dialects). true: rethrow — the debugging/CI mode where a kernel bug
+      * should fail loudly. */
+    failFast: Boolean = false
 )
 
 object ExtractConfig {

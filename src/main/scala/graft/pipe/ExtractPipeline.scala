@@ -41,7 +41,13 @@ object ExtractPipeline {
       blocksKept: LongAccumulator,
       blocksDropped: LongAccumulator,
       charsEmitted: LongAccumulator,
-      turnsGated: LongAccumulator
+      turnsGated: LongAccumulator,
+      /** turns QUARANTINED by the poison-row guard (kernel threw; see
+        * [[graft.model.ExtractConfig.failFast]]). Task retries can inflate
+        * this (accumulator semantics) — it is an operator alarm, not an
+        * exact count; the exact drop count is turnsIn − turnsOut −
+        * turnsGated on the observed metrics. */
+      turnsFailed: LongAccumulator
   )
 
   def newMetrics(spark: SparkSession): Metrics = Metrics(
@@ -49,7 +55,8 @@ object ExtractPipeline {
     spark.sparkContext.longAccumulator("graft.blocksKept"),
     spark.sparkContext.longAccumulator("graft.blocksDropped"),
     spark.sparkContext.longAccumulator("graft.charsEmitted"),
-    spark.sparkContext.longAccumulator("graft.turnsGated")
+    spark.sparkContext.longAccumulator("graft.turnsGated"),
+    spark.sparkContext.longAccumulator("graft.turnsFailed")
   )
 
   /** Gates → salt → kernel. Output is UNORDERED (post-shuffle); callers that
@@ -59,7 +66,12 @@ object ExtractPipeline {
       spark: SparkSession,
       turns: Dataset[Turn],
       cfg: ExtractConfig = ExtractConfig.default,
-      metrics: Option[Metrics] = None
+      metrics: Option[Metrics] = None,
+      // kernel seam: injectable so the poison-row guard below is testable
+      // (the shipped kernels are total functions — no input makes them
+      // throw — so QuarantineSpec injects a throwing one)
+      kernel: (Turn, ExtractConfig, graft.kernel.ExtractorContext) => ExtractedTurn =
+        Extractor.extractTurn(_, _, _)
   ): Dataset[ExtractedTurn] = {
     import spark.implicits._
     val bcCfg = spark.sparkContext.broadcast(cfg)
@@ -74,7 +86,16 @@ object ExtractPipeline {
       val c = bcCfg.value // one broadcast fetch per task, not per row
       val ctx = new graft.kernel.ExtractorContext // per-task reusable buffers
       it.map { t =>
-        val out = Extractor.extractTurn(t, c, ctx)
+        val out = try kernel(t, c, ctx) catch {
+          // Poison-row quarantine: emit a sentinel the F2 gate drops
+          // (classifyScore −1 < any sane gate) and alarm via the
+          // accumulator; fatal JVM errors (OOM, stack overflow) still kill
+          // the task — only application-level failures are survivable.
+          case scala.util.control.NonFatal(e) if !c.failFast =>
+            m.foreach(_.turnsFailed.add(1))
+            ExtractedTurn(t.conv_id, t.turn_idx, t.role, t.tool, t.ts,
+              "", Vector.empty, 0, 0, 0, -1.0)
+        }
         // the accumulator test mirrors the declarative F2 filter below
         // (same deterministic predicate on the kernel's own output), so
         // counts reflect rows that actually reach the sink
@@ -84,7 +105,8 @@ object ExtractPipeline {
             acc.blocksKept.add(out.blocksKept)
             acc.blocksDropped.add(out.blocksDropped)
             acc.charsEmitted.add(out.charsEmitted)
-          } else acc.turnsGated.add(1)
+          } else if (out.classifyScore >= 0) acc.turnsGated.add(1)
+          // (score −1 = quarantine sentinel: already counted in turnsFailed)
         }
         out
       }
