@@ -47,17 +47,29 @@ object ExtractPipeline {
         * this (accumulator semantics) — it is an operator alarm, not an
         * exact count; the exact drop count is turnsIn − turnsOut −
         * turnsGated on the observed metrics. */
-      turnsFailed: LongAccumulator
+      turnsFailed: LongAccumulator,
+      /** Bounded dead-letter sample of quarantined turns: the reprocess
+        * keys (→ [[graft.table.SnapshotTable.replaceWhere]]) and error
+        * heads. See [[BoundedListAccumulator]] for the bounding rationale. */
+      failedSamples: BoundedListAccumulator[QuarantineRecord]
   )
 
-  def newMetrics(spark: SparkSession): Metrics = Metrics(
-    spark.sparkContext.longAccumulator("graft.turnsOut"),
-    spark.sparkContext.longAccumulator("graft.blocksKept"),
-    spark.sparkContext.longAccumulator("graft.blocksDropped"),
-    spark.sparkContext.longAccumulator("graft.charsEmitted"),
-    spark.sparkContext.longAccumulator("graft.turnsGated"),
-    spark.sparkContext.longAccumulator("graft.turnsFailed")
-  )
+  /** Cap on the dead-letter sample ([[Metrics.failedSamples]]). */
+  val FailedSampleCap = 4096
+
+  def newMetrics(spark: SparkSession): Metrics = {
+    val samples = new BoundedListAccumulator[QuarantineRecord](FailedSampleCap)
+    spark.sparkContext.register(samples, "graft.failedSamples")
+    Metrics(
+      spark.sparkContext.longAccumulator("graft.turnsOut"),
+      spark.sparkContext.longAccumulator("graft.blocksKept"),
+      spark.sparkContext.longAccumulator("graft.blocksDropped"),
+      spark.sparkContext.longAccumulator("graft.charsEmitted"),
+      spark.sparkContext.longAccumulator("graft.turnsGated"),
+      spark.sparkContext.longAccumulator("graft.turnsFailed"),
+      samples
+    )
+  }
 
   /** Gates → salt → kernel. Output is UNORDERED (post-shuffle); callers that
     * need the stable order apply [[orderRestore]] (kept separate so the
@@ -92,7 +104,11 @@ object ExtractPipeline {
           // accumulator; fatal JVM errors (OOM, stack overflow) still kill
           // the task — only application-level failures are survivable.
           case scala.util.control.NonFatal(e) if !c.failFast =>
-            m.foreach(_.turnsFailed.add(1))
+            m.foreach { acc =>
+              acc.turnsFailed.add(1)
+              acc.failedSamples.add(QuarantineRecord(
+                t.conv_id, t.turn_idx, e.toString.take(200)))
+            }
             ExtractedTurn(t.conv_id, t.turn_idx, t.role, t.tool, t.ts,
               "", Vector.empty, 0, 0, 0, -1.0)
         }
