@@ -423,6 +423,50 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
     }),
 
+    "q_dedup_incremental" -> ((s, dir) => {
+      // Incremental-ingest dedup — the shape q_dedup_exact CANNOT take at
+      // scale: a daily batch must dedup against the ALREADY-COMMITTED
+      // corpus without re-scanning (or shuffling) petabytes of history per
+      // batch. The history is folded ONCE into per-shard bloom blobs
+      // (mergeable aggregate; 16 KiB × shards, amortized across every
+      // future batch — in production a persisted table, here built inline),
+      // the batch probes the BROADCAST blobs (codegen bloom_maybe, zero
+      // shuffle), and only bloom-POSITIVE rows (true dups + ~1% fpp tail)
+      // enter the exact verify: history is semi-joined against the tiny
+      // broadcast candidate-key set (column-pruned scan, history never
+      // shuffles — the q_decontaminate discipline), then candidates
+      // anti-join the confirmed collisions. No false negatives (bloom
+      // property) ⇒ result is EXACTLY batch ∖ history; the oracle is the
+      // plain anti-join. Stand-in slices: history = doc_id % 3 = 0, batch =
+      // doc_id % 2 = 0 — their overlap (doc_id % 6 = 0) models re-delivered
+      // documents.
+      import graft.functions.BloomSketch
+      TextFingerprint.register(s)
+      val fp = call_function("text_fingerprint", col("text"))
+      val nShards = 16
+      val hist = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+        .select(fp.as("fp"))
+      val batch = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), fp.as("fp"))
+      val blooms = fanOut(hist)
+        .groupBy(pmod(col("fp"), lit(nShards.toLong)).as("shard"))
+        .agg(BloomSketch.agg(col("fp")).as("bloom"))
+      val probed = batch
+        .withColumn("shard", pmod(col("fp"), lit(nShards.toLong)))
+        // left: a shard absent from history proves the key is new
+        .join(broadcast(blooms), Seq("shard"), "left")
+        .withColumn("maybe",
+          coalesce(BloomSketch.maybe(s, col("bloom"), col("fp")), lit(false)))
+        .select(col("doc_id"), col("lang"), col("fp"), col("maybe"))
+      val candidates = probed.filter(col("maybe"))
+      val collisions = hist.join(
+        broadcast(candidates.select(col("fp"))), Seq("fp"), "left_semi")
+      probed.filter(!col("maybe")).drop("maybe")
+        .unionByName(candidates.drop("maybe")
+          .join(broadcast(collisions), Seq("fp"), "left_anti"))
+        .select(col("doc_id"), col("lang"), col("fp"))
+    }),
+
     "q_dedup_jaccard" -> ((s, dir) => {
       // Inverted-index plan (the 100-TB shape): shingle → POSTING LIST
       // (one groupBy), document-frequency cap on the list length (a
@@ -1813,6 +1857,13 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY 1",
+
+    // bloom prefilter + exact verify ≡ plain anti-join (no false negatives)
+    "q_dedup_incremental" ->
+      s"""WITH hist AS (SELECT ${oFp("text")} AS fp FROM documents WHERE doc_id % 3 = 0),
+          batch AS (SELECT doc_id, lang, ${oFp("text")} AS fp FROM documents WHERE doc_id % 2 = 0)
+          SELECT b.doc_id, b.lang, b.fp FROM batch b
+          WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)""",
 
     "q_dedup_jaccard" ->
       s"""WITH s AS (SELECT doc_id, lang, source, $oShingles AS sh

@@ -49,6 +49,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("hashpartitioning") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("incremental dedup: history never shuffles — every join is broadcast") {
+    val p = planOf("q_dedup_incremental")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+    // bloom probe + verify semi/anti all against broadcast sides
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    // and the probe is the native codegen expression, not a UDF
+    assert(p.contains("bloom_maybe"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
   test("embedding LSH dedup plans with no all-pairs join") {
     val p = planOf("q_dedup_embed_lsh")
     assert(!p.contains("CartesianProduct"), p)
