@@ -448,9 +448,7 @@ object SparkEntry {
         .select(fp.as("fp"))
       val batch = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("lang"), fp.as("fp"))
-      val blooms = fanOut(hist)
-        .groupBy(pmod(col("fp"), lit(nShards.toLong)).as("shard"))
-        .agg(BloomSketch.agg(col("fp")).as("bloom"))
+      val blooms = BloomSketch.shardedBlooms(fanOut(hist), col("fp"), nShards)
       val probed = batch
         .withColumn("shard", pmod(col("fp"), lit(nShards.toLong)))
         // left: a shard absent from history proves the key is new

@@ -83,6 +83,19 @@ object BloomSketch {
     register(spark)
     call_function("bloom_maybe", blob, key)
   }
+
+  /** Keys → one blob per shard (`shard = pmod(key, nShards)`; output
+    * columns `(shard, bloom)`). A plain partial-agg'd groupBy — each map
+    * task ships at most nShards 16 KiB blobs, never its keys. Persist the
+    * result and OR-merge future deltas ([[BloomAgg.merge]]) rather than
+    * rebuilding: that amortization is what makes the probe side of
+    * incremental dedup history-scan-free. */
+  def shardedBlooms(keys: org.apache.spark.sql.DataFrame, keyCol: Column,
+      nShards: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{lit, pmod}
+    keys.groupBy(pmod(keyCol, lit(nShards.toLong)).as("shard"))
+      .agg(agg(keyCol).as("bloom"))
+  }
 }
 
 /** Mergeable bloom aggregate: reduce sets k bits, merge ORs the arrays —

@@ -49,6 +49,53 @@ object StreamingExtract {
       .withWatermark("ts", "30 seconds")
       .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
 
+  /** Streaming incremental-ingest dedup — the stream twin of the batch
+    * `q_dedup_incremental` (fast path / slow path):
+    *
+    *  1. every row probes the committed corpus's per-shard bloom blobs
+    *     (built/maintained by the BATCH engine via
+    *     [[graft.functions.BloomSketch.shardedBlooms]]; 16 KiB × shards,
+    *     here a broadcast stream-static equi-join — stateless, zero history
+    *     access per micro-batch);
+    *  2. bloom-NEGATIVE rows are exactly-new (no false negatives) and take
+    *     the fast path with `maybe_dup = false`;
+    *  3. bloom-POSITIVE rows (true re-deliveries + the ~fpp tail) get
+    *     `maybe_dup = true` — a streaming job CANNOT exact-verify against
+    *     petabytes of history per batch, so the caller diverts them to a
+    *     suspect side output that the batch verify (the
+    *     `q_dedup_incremental` anti-join) resolves asynchronously. Nothing
+    *     is silently dropped: the split is advisory, exactness lives in
+    *     the batch twin.
+    *
+    * Within-stream repeats are a separate concern: chain
+    * [[dedupByContent]] (watermarked state, bounded) before or after.
+    *
+    * @param stream streaming DataFrame with a `fp` LONG column (content
+    *               fingerprint, e.g. `text_fingerprint(text)`)
+    * @param blooms STATIC `(shard, bloom)` frame from
+    *               [[graft.functions.BloomSketch.shardedBlooms]]
+    */
+  def probeHistory(stream: DataFrame, blooms: DataFrame, nShards: Int): DataFrame = {
+    val spark = stream.sparkSession
+    graft.functions.BloomSketch.register(spark)
+    stream
+      .withColumn("shard", pmod(col("fp"), lit(nShards.toLong)))
+      // left join: a shard with no blob proves no history key hashes there
+      .join(broadcast(blooms), Seq("shard"), "left")
+      .withColumn("maybe_dup", coalesce(
+        call_function("bloom_maybe", col("bloom"), col("fp")), lit(false)))
+      .drop("bloom", "shard")
+  }
+
+  /** Watermark-bounded exact dedup on the content fingerprint (in-stream
+    * repeats; the (conv_id, turn_idx) [[dedup]] face keys on identity
+    * instead). Same bounded-state contract: a repeat older than the
+    * lateness horizon can re-emit. */
+  def dedupByContent(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "30 seconds")
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Commit one micro-batch into a [[graft.table.SnapshotTable]] with
     * replay-safe (exactly-once) semantics: the batchId IS the runId, and a
     * re-delivered batch (after a failure, foreachBatch may replay the last

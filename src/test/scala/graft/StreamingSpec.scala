@@ -6,10 +6,67 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Document-shaped stream rows for the incremental-dedup face. */
+final case class SDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
 /** Streaming face (SURVEY §2.10): the same kernels under micro-batch
   * execution produce the same per-turn results, and the windowed metrics
   * aggregation (Bucket-flush analog) sees every turn exactly once. */
 class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  test("streaming incremental dedup: bloom flags history re-deliveries, " +
+    "passes fresh rows, drops in-stream repeats") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.{BloomSketch, TextFingerprint}
+    import org.apache.spark.sql.functions.{call_function, col}
+    TextFingerprint.register(spark)
+    val nShards = 8
+
+    // committed corpus → per-shard blobs (the batch engine's build side)
+    val histTexts = (0 until 200).map(i => s"history document $i body")
+    val blooms = BloomSketch.shardedBlooms(
+      histTexts.toDF("text")
+        .select(call_function("text_fingerprint", col("text")).as("fp")),
+      col("fp"), nShards)
+
+    // keep event times clear of epoch 0: the engine's INITIAL watermark is
+    // 0, and a ts=0 row lands exactly on the late-row eviction boundary
+    def ts(i: Int) = new java.sql.Timestamp(1000000L + 1000L * i)
+    val redelivered = (0 until 40).map(i => SDoc(i, s"history document $i body", ts(i)))
+    val fresh = (0 until 40).map(i => SDoc(1000 + i, s"fresh document $i body", ts(100 + i)))
+    // same text re-sent under new ids → same fingerprint → in-stream repeat
+    val repeats = fresh.take(3).map(d => d.copy(doc_id = d.doc_id + 5000))
+
+    val stream = MemoryStream[SDoc]
+    val probed = StreamingExtract.probeHistory(
+      stream.toDF().withColumn("fp", call_function("text_fingerprint", col("text"))),
+      blooms, nShards)
+    val q = StreamingExtract.dedupByContent(probed).writeStream
+      .format("memory").queryName("incdedup_out").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    stream.addData(redelivered ++ fresh ++ repeats)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("incdedup_out").select("fp", "maybe_dup")
+      .as[(Long, Boolean)].collect().toMap
+
+    // driver-side twin of the blob build pins every flag deterministically
+    val shardBlobs = Array.fill(nShards)(new Array[Byte](BloomSketch.NumBytes))
+    histTexts.map(TextFingerprint.compute).foreach { fp =>
+      BloomSketch.setBits(shardBlobs((fp % nShards).toInt), fp)
+    }
+    def expectFlag(text: String): (Long, Boolean) = {
+      val fp = TextFingerprint.compute(text)
+      fp -> BloomSketch.contains(shardBlobs((fp % nShards).toInt), fp)
+    }
+    // in-stream repeats collapsed: one row per distinct fingerprint
+    assert(got.size == redelivered.size + fresh.size)
+    assert(got == (redelivered ++ fresh).map(d => expectFlag(d.text)).toMap)
+    // and the bloom guarantee in force: every re-delivery IS flagged
+    redelivered.foreach(d => assert(got(TextFingerprint.compute(d.text))))
+  }
 
   test("micro-batch extraction matches the batch goldens per turn") {
     import testImplicits._
