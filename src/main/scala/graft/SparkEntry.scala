@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.{ShingleFunctions => SF, TextFingerprint, TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{ShingleFunctions => SF, TextFingerprint, TextFunctions => TF, VectorFunctions => VF, WinnowF}
 import graft.gen.TranscriptGen
 import graft.pipe.ExtractPipeline
 
@@ -1248,6 +1248,50 @@ object SparkEntry {
         .select(col("doc_id"), call_function("text_fingerprint", col("text")).as("fp"))
     }),
 
+    "q_winnow_fp" -> ((s, dir) => {
+      // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003) —
+      // the EXACT-substring dedup family's scale path (Lee et al. 2022
+      // dedups training data on exact 50-gram matches; a 100-TB suffix
+      // array is off the table, winnowing is the local-sketch answer):
+      // every shared substring ≥ K+W−1 = 23 code points is guaranteed a
+      // shared fingerprint, at an expected 2/(W+1) fingerprints per
+      // position. The sketch is a NARROW one-pass native expression
+      // (rolling k-gram hash + monotonic-deque sliding min — no explode,
+      // no window function, zero exchanges; PlanSpec asserts both). Each
+      // key encodes (hash, pos) exactly as the sliding min compared them,
+      // so the oracle reproduces selection — rightmost-min tie-break
+      // included — with a plain SQL window min over the same keys.
+      WinnowF.register(s)
+      val posMask = (1L << 31) - 1
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(call_function("winnow_fp", col("text"))).as("key"))
+        .select(col("doc_id"),
+          (lit(posMask) - col("key").bitwiseAND(lit(posMask))).as("pos"),
+          shiftright(col("key"), 31).as("fp"))
+    }),
+
+    "q_winnow_common_spans" -> ((s, dir) => {
+      // The dedup application of the winnowing sketch: fingerprints seen in
+      // ≥ 2 distinct documents = cross-document duplicated spans (each is a
+      // witness of a ≥ K-char exact match; every ≥ 23-char match is
+      // guaranteed to appear). ONE shuffle on the fingerprint; doc counting
+      // goes through Spark's distinct-aggregate expansion with map-side
+      // partials, so a boilerplate span shared by millions of docs arrives
+      // at its reducer pre-aggregated per map task — the same hot-key
+      // discipline as q_paragraph_dedup.
+      WinnowF.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(call_function("winnow_fp", col("text"))).as("key"))
+        .select(col("doc_id"), shiftright(col("key"), 31).as("fp"))
+        .groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"),
+          count(lit(1)).as("nocc"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("ndocs") >= 2)
+    }),
+
     "q_unigram_lm" -> ((s, dir) => {
       // Unigram language-model SURPRISAL scoring — the cheap LM-quality
       // signal (CCNet-style perplexity filtering reduced to its unigram
@@ -1528,6 +1572,41 @@ object SparkEntry {
   private val oFpBody =
     "list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, length(%s)), i -> ord(substr(%s, i, 1))::BIGINT)), (h, cp) -> (h*31 + cp) %% 1000000007)"
   private def oFp(c: String): String = oFpBody.format(c, c)
+
+  /** Winnowing selection re-derived in SQL (ends with
+    * `chosen(doc_id, pos, fp)`): per-position k-gram hashes (direct O(k)
+    * fold — the oracle may be slow, only the engine must be O(n)), the
+    * SAME (hash, pos) key encoding as [[graft.functions.WinnowF]], then
+    * window-min over the next W−1 rows restricted to window starts
+    * 1..max(1, m−W+1). Tie-break (rightmost smallest hash) is inside the
+    * key: smaller pos-complement = larger pos. */
+  private val oWinnowChosen: String = {
+    val K = graft.functions.WinnowF.K
+    val W = graft.functions.WinnowF.W
+    s"""WITH wpos AS (
+           SELECT doc_id, text, unnest(generate_series(1, length(text) - ${K - 1})) AS i
+           FROM documents WHERE length(text) >= $K),
+         whash AS (
+           SELECT doc_id, i,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(generate_series(i, i + ${K - 1}), j -> ord(substr(text, j, 1))::BIGINT)),
+               (h, cp) -> (h*31 + cp) % 1000000007) AS h
+           FROM wpos),
+         wkey AS (
+           SELECT doc_id, i, h*2147483648 + (2147483647 - i) AS tkey,
+             count(*) OVER (PARTITION BY doc_id) AS m
+           FROM whash),
+         wmin AS (
+           SELECT doc_id, i, m,
+             min(tkey) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS sel
+           FROM wkey),
+         chosen AS (
+           SELECT DISTINCT doc_id, 2147483647 - (sel & 2147483647) AS pos,
+             sel // 2147483648 AS fp
+           FROM wmin WHERE i <= greatest(1, m - ${W - 1}))
+       """
+  }
 
   private def oDot(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
@@ -2218,6 +2297,19 @@ object SparkEntry {
 
     "q_fingerprint" ->
       s"""SELECT doc_id, ${oFp("text")} AS fp FROM documents""",
+
+    // Winnowing re-derivation: k-gram hashes per position (O(k) fold per
+    // position here — the oracle may be quadratic, the engine is not), keys
+    // encode (hash, pos) exactly as WinnowF compares them, selection = SQL
+    // window min over the next W-1 rows, windows restricted to
+    // 1..max(1, m−W+1); DISTINCT collapses repeated selections.
+    "q_winnow_fp" -> (oWinnowChosen +
+      """SELECT doc_id, pos, fp FROM chosen"""),
+
+    "q_winnow_common_spans" -> (oWinnowChosen +
+      """SELECT fp, count(DISTINCT doc_id) AS ndocs, count(*) AS nocc,
+            min(doc_id) AS first_doc
+          FROM chosen GROUP BY fp HAVING count(DISTINCT doc_id) >= 2"""),
 
     "q_unigram_lm" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS w

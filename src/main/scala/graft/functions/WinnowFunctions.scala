@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `winnow_fp(string) -> array<long>` — winnowing document fingerprints
+  * (Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for Document
+  * Fingerprinting", SIGMOD 2003): the standard scale path for EXACT-substring
+  * dedup (the Lee et al. 2022 "Deduplicating Training Data" family) when a
+  * suffix array over 100 TB is off the table.
+  *
+  * Construction (one O(n) pass per document, zero shuffle):
+  *   1. k-gram rolling polynomial hashes over Unicode code points
+  *      (same 31/1e9+7 fold as [[TextFingerprint]]), k = [[WinnowF.K]];
+  *   2. slide a window of w = [[WinnowF.W]] consecutive hashes; in each
+  *      window select the MINIMUM hash, rightmost position on ties
+  *      (monotonic-deque sliding minimum, O(n) total);
+  *   3. record each selection once (selected positions are non-decreasing,
+  *      so consecutive-duplicate suppression IS global distinct).
+  *
+  * Guarantees (the paper's): any substring match of length ≥ w + k − 1
+  * (= 23 chars here) is caught by at least one shared fingerprint, and the
+  * expected fingerprint density is 2/(w+1) — the sketch size scales with
+  * document length, not with the corpus.
+  *
+  * Each emitted long encodes (hash, position) as the exact value the window
+  * minimum was taken over — `tkey = h·2³¹ + (2³¹ − 1 − pos)` with pos
+  * 1-based in code points — so the DuckDB oracle can reproduce selection
+  * (including the rightmost tie-break) with a plain window `min` over the
+  * same keys: h = tkey >> 31, pos = 2³¹ − 1 − (tkey & (2³¹ − 1)).
+  *
+  * Reference ancestry: the reference's near-dup suppression compares whole
+  * field values (`/root/reference/src/controller/idcardprocesser.py:60-88`
+  * duplicate-line filtering); winnowing is that idea made sublinear and
+  * local for web-scale text.
+  */
+case class WinnowF(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowF.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowF.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowF =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_fp"
+}
+
+object WinnowF {
+  /** k-gram length (code points) and winnowing window (hash positions).
+    * Detection guarantee: shared substrings of length ≥ K + W − 1 = 23. */
+  final val K = 16
+  final val W = 8
+  final val Mod: Long = TextFingerprint.Mod
+  /** 31^(K−1) mod P — the leading-coefficient weight removed on each
+    * rolling-hash slide. */
+  final val Pow: Long = {
+    var p = 1L; var i = 0
+    while (i < K - 1) { p = (p * 31) % Mod; i += 1 }
+    p
+  }
+  private final val PosMask = (1L << 31) - 1
+
+  def compute(u: UTF8String): ArrayData = compute(u.toString)
+
+  def compute(s: String): ArrayData = {
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n < K) return new GenericArrayData(Array.empty[Long])
+    val m = n - K + 1
+
+    // rolling k-gram hashes: h_i = fold(cps[i, i+K)) mod P, O(n) total
+    val keys = new Array[Long](m)
+    var h = 0L
+    var i = 0
+    while (i < K) { h = (h * 31 + cps(i)) % Mod; i += 1 }
+    keys(0) = (h << 31) + (PosMask - 1) // pos 1 → 2^31-1-1
+    i = 1
+    while (i < m) {
+      // drop cps(i-1)·31^(K-1), shift, add cps(i+K-1); all intermediates
+      // fit: cp ≤ 0x10FFFF, Pow < P ≈ 2^30 → cp·Pow < 2^51
+      val dropped = (cps(i - 1) * Pow) % Mod
+      h = ((h - dropped + Mod) * 31 + cps(i + K - 1)) % Mod
+      keys(i) = (h << 31) + (PosMask - (i + 1)) // 1-based pos
+      i += 1
+    }
+
+    // sliding-window minimum (monotonic deque): one selection per window
+    // j ∈ [0, max(0, m−W)]; a window shorter than W (m < W) degenerates to
+    // the single all-hashes window. Keys are distinct (pos is encoded), so
+    // the min IS the rightmost smallest hash.
+    val deque = new Array[Int](m)
+    var head = 0; var tail = 0 // [head, tail) holds indices, keys increasing
+    val out = new scala.collection.mutable.ArrayBuffer[Long](2 * m / (W + 1) + 2)
+    i = 0
+    while (i < m) {
+      while (tail > head && keys(deque(tail - 1)) >= keys(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      val j = i - W + 1 // window start emitting at end index i
+      if (i == m - 1 && m < W) {
+        out += keys(deque(head)) // single truncated window
+      } else if (j >= 0) {
+        while (deque(head) < j) head += 1
+        val sel = keys(deque(head))
+        if (out.isEmpty || out.last != sel) out += sel
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fp", exprs => WinnowF(exprs.head), "built-in")
+}
