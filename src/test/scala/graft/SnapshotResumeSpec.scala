@@ -327,4 +327,43 @@ class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
       .select("conv_id", "turn_idx").as[(String, Int)].collect().toVector
     assert(rows == rows.sortBy(identity))
   }
+
+  test("readChanges: append-only delta between snapshots; rewrite detected; " +
+    "allowReplaced re-delivers the rewritten bucket") {
+    import testImplicits._
+    val dir = Files.createTempDirectory("snap").toString
+    val table = new SnapshotTable(dir, numBuckets = 4)
+    val turns = TranscriptGen.dataset(spark, seed, 30, 60, partitions = 2)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("conv_id", "turn_idx").as[(String, Int)].collect().toSet
+
+    // snapshot 0: buckets {0,1}; snapshot 1: the rest (incremental resume)
+    val half = turns.withColumn("bucket", table.bucketOf)
+      .where(col("bucket") < 2).drop("bucket").as[graft.model.Turn]
+    assert(ExtractJob.runIncremental(spark, table, half, runId = "runA").contains(0L))
+    assert(ExtractJob.runIncremental(spark, table, turns, runId = "runB").contains(1L))
+
+    // delta 0→1 = exactly the rows runB added = live minus snapshot-0
+    val delta = table.readChanges(spark, 0L, 1L)
+    assert(key(delta) == key(table.read(spark)) -- key(table.readAt(spark, 0L)))
+    assert(key(delta).nonEmpty)
+    // from == to → empty frame, full schema intact
+    val none = table.readChanges(spark, 1L, 1L)
+    assert(none.isEmpty && none.columns.contains("spans"))
+
+    // snapshot 2 rewrites one conversation's bucket (replaceWhere): the
+    // 0→2 and 1→2 windows are no longer append-only
+    val victimConv = table.read(spark).select("conv_id").as[String].first()
+    val victimBucket = table.bucketOfId(victimConv)
+    val rewritten = table.read(spark).as[graft.model.ExtractedTurn]
+      .filter(_.conv_id == victimConv)
+    assert(table.replaceWhere(spark, Seq(victimConv), rewritten, runId = "runC")
+      .contains(2L))
+    val ex = intercept[IllegalStateException](table.readChanges(spark, 1L, 2L))
+    assert(ex.getMessage.contains(s"bucket(s) $victimBucket"))
+    // opt-in: the delta is the rewritten bucket's full new file-set
+    val replayed = table.readChanges(spark, 1L, 2L, allowReplaced = true)
+    assert(key(replayed) == key(spark.read.parquet(
+      table.committedEntries(spark).filter(_.bucket == victimBucket).map(_.path): _*)))
+  }
 }
