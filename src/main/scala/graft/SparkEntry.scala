@@ -112,6 +112,225 @@ object SparkEntry {
   private val IvfScale = 1000000.0
   private val IvfMaxTrain = 65536L
 
+  /** Cosine threshold for cluster-scoped semantic dedup (q_semantic_dedup);
+    * same value as the banded-LSH verify threshold (q_dedup_embed_lsh) so
+    * the two embedding-dedup paths are comparable. */
+  private val SemDedupTau = 0.4
+
+  /** Scaled-integer embedding quantization shared by the IVF family
+    * (q_knn_ivf, q_semantic_dedup): qv[i] = floor(x·IvfScale + 0.5), making
+    * training/assignment arithmetic integer-exact and order-independent —
+    * bit-reproducible in the DuckDB oracle. */
+  private def ivfQuantized(e: DataFrame): DataFrame =
+    e.withColumn("qv",
+      transform(col("embedding"), x => floor(x.cast("double") * IvfScale + lit(0.5))))
+
+  /** Nearest-centroid map (idCol → cent_id): native integer sqdist_l against
+    * the BROADCAST centroid set, argmin as a partial-aggregatable
+    * min(struct(d2, cent_id)) — map-side combine, no window sort; the
+    * (d2, cent_id) lexicographic min IS the tie-break the oracle uses. */
+  private def ivfNearestMap(points: DataFrame, idCol: String, cents: DataFrame): DataFrame =
+    points.crossJoin(broadcast(cents))
+      .withColumn("_d2", VF.sqDistL(col("qv"), col("cv")))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("_d2"), col("cent_id"))).as("m"))
+      .select(col(idCol), col("m.cent_id").as("cent_id"))
+
+  /** Deterministic Lloyd's k-means (k = IvfK, IvfIters iterations, init =
+    * first k vectors) on the DRIVER over a bounded deterministic training
+    * sample (the FAISS discipline: the coarse quantizer trains on a
+    * fixed-size sample — constant driver work regardless of corpus size —
+    * while assignment and search stay distributed; at the test SFs the
+    * sample is the full vector set, so the oracle's full-set unrolled
+    * training matches bit-for-bit). Integer sq-dists, lexicographic
+    * (d2, cent_id) argmin, floored means (exact: |sum| < 2^53 so the double
+    * division's input is exact), empty clusters dropped. */
+  private def ivfTrainCentroids(s: SparkSession, qz: DataFrame): DataFrame = {
+    import s.implicits._
+    val dims = 64
+    val trainRows = qz.filter(col("vec_id") < IvfMaxTrain)
+      .select(col("vec_id"), col("qv"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    val train = trainRows.map(_._2.toArray)
+    var centsL: Vector[(Int, Array[Long])] = trainRows
+      .collect { case (id, v) if id < IvfK => (id.toInt, v.toArray) }.toVector
+    for (_ <- 0 until IvfIters) {
+      val sums = centsL.map { case (id, _) => id -> new Array[Long](dims) }.toMap
+      val counts = scala.collection.mutable.Map(centsL.map(_._1 -> 0L): _*)
+      train.foreach { v =>
+        var bestId = -1; var bestD = Long.MaxValue
+        centsL.foreach { case (id, cvv) =>
+          var d = 0L; var i = 0
+          while (i < dims) { val t = v(i) - cvv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; bestId = id } // ascending id ⇒ lexicographic (d2, id) min
+        }
+        counts(bestId) += 1
+        val sm = sums(bestId)
+        var i = 0; while (i < dims) { sm(i) += v(i); i += 1 }
+      }
+      // floored mean, computed exactly as the engines would:
+      // floor(sum::DOUBLE / n) — |sum| < 2^53 so the division is exact-input
+      centsL = centsL.collect { case (id, _) if counts(id) > 0 =>
+        val n = counts(id); val sm = sums(id)
+        (id, Array.tabulate(dims)(i => math.floor(sm(i).toDouble / n).toLong))
+      }
+    }
+    centsL.map { case (id, v) => (id, v.toSeq) }.toDF("cent_id", "cv")
+  }
+
+  /** Connected components over the verified near-dup pair graph — the
+    * clustering step a real dedup pipeline runs AFTER pair generation
+    * (pairs alone over-delete: {A,B},{B,C} must keep exactly one of
+    * {A,B,C}). Hash-to-min label propagation with pointer jumping
+    * (comp ← comp(comp), O(log diameter) convergence) to the fixpoint:
+    * the order-independent canonical labeling comp = min reachable
+    * doc_id. Returns (doc_id, comp) for EVERY document (vertices with no
+    * near-dup edge re-join as singletons at the end). Shared by
+    * q_dedup_components (keep = doc_id == comp) and q_dedup_survivor
+    * (quality-based election). Oracle: recursive-CTE transitive closure.
+    *
+    * The EDGES come from the codegen'd DataFrame pipeline; the fixpoint
+    * loop itself runs on RDDs — the GraphX precedent, and the measured
+    * reason: a DataFrame loop pays whole-stage-codegen RECOMPILATION
+    * every iteration (1.3 s/iter here vs 0.15 s for the same joins as
+    * precompiled RDD ops; 6 iterations at sf0.1). This is the brief's
+    * "genuine per-partition imperative logic" carve-out. */
+  private def componentMap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import s.implicits._
+    // dedup MATTERS here (unlike the verify-join consumers): the edge
+    // multiset is traversed EVERY fixpoint round, so a ≤4-band duplicate
+    // pair costs 4× in every round's join — one distinct shuffle up
+    // front amortizes over all rounds. (Measured at sf0.1: 1.4M raw edge
+    // entries vs ~0.35M distinct — clique-heavy near-dup graphs make the
+    // multiset blow-up the rule, not the exception.)
+    // dedup stays ON for the edge source — re-A/B'd after the round-4
+    // LongMap rewrite (BENCH/TUNING.md): dedup=false doubles the edge
+    // multiset (≤4-band duplicates) and with it the fixpoint's partition
+    // count and every round's propose scan — 3.5 s → 6.5 s warm at
+    // sf0.1. The up-front distinct (now over hamming-verified pairs
+    // only) is cheaper than re-traversing duplicates 6 rounds.
+    val edges = simhashPairs(s, dir)
+      .select(col("id_a"), col("id_b"))
+    // The fixpoint runs ONLY over the edge-induced subgraph: a vertex with
+    // no near-dup edge is trivially its own component and never enters the
+    // loop (at 100 TB the pair graph is orders of magnitude smaller than
+    // the corpus — iterating over every doc_id would shuffle |V|-sized
+    // label state per hop for nothing). Singletons rejoin at the end via
+    // a left join + coalesce.
+    val undRaw = edges.as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Iterator((b, a), (a, b)) } // undirected, keyed by proposer
+      .cache()
+    // partition count DERIVED from the measured edge count (≈250k edges
+    // per fixpoint task), capped by the cluster's core budget — NOT by
+    // the upstream partition count: AQE routinely coalesces the small
+    // edge DataFrame to ONE partition, and inheriting that cap would
+    // single-thread the whole fixpoint (measured exactly that at sf0.1).
+    // The label state scales with the edge graph, so its partitioning
+    // must too; a fixed count is either a 100-TB bottleneck or (locally)
+    // pure per-task scheduling overhead.
+    val nE = undRaw.count()
+    val lp = math.max(1, math.min(s.sparkContext.defaultParallelism,
+      math.ceil(nE / 250000.0).toInt))
+    val part = new HashPartitioner(lp)
+    val und = undRaw.partitionBy(part).cache()
+    und.foreachPartition(_ => ()) // materialize, then free the raw copy
+    undRaw.unpersist(false)
+    // ---- Fixpoint round structure (round-4 rewrite; BENCH/TUNING.md r4):
+    // the round-3 join/reduceByKey/union formulation paid 4-6 shuffles per
+    // round — `labels` lost its partitioner at every map, so each join
+    // RE-shuffled the full label state, and every cogroup/combiner ran an
+    // ExternalAppendOnlyMap whose SizeTracker sampling dominated the
+    // profile (QTime round 3b). This formulation keeps `labels`
+    // hash-partitioned by `part` across rounds and does all per-partition
+    // work in plain LongMaps:
+    //   S1  prop:   edges look labels up via narrow zipPartitions (both
+    //               sides co-partitioned by `part`), pre-combined per map
+    //               partition (manual map-side combine, bounded by the
+    //               250k-edges/task sizing) → ONE plain partitionBy
+    //               shuffle of (target, candComp) pairs;
+    //   —   merge:  labels ⊕ prop min-merge, zipPartitions, NO shuffle;
+    //   S2  jump:   comp ← comp(comp) (pointer jumping keeps chained
+    //               near-dups at O(log diameter)): swap-key partitionBy;
+    //   S3  align:  jump results re-keyed by id back to `part`, then a
+    //               narrow compare against the previous labels COUNTS
+    //               CHANGES IN AN ACCUMULATOR inside the same job that
+    //               materializes the round — convergence costs ZERO extra
+    //               jobs (over-count on a task retry only means one extra
+    //               no-op round; under-count is impossible in a job that
+    //               ran to completion).
+    // 3 plain (Long,Long) shuffles per round, no aggregation machinery,
+    // no redundant label re-shuffles. Per-partition helpers live in the
+    // serializable [[CCKernels]] object (static access — a local def here
+    // would pull the enclosing non-serializable closure into every task).
+    import CCKernels.{minFoldByKey, toLongMap}
+    // label init fused with round 1: comp(id) = min(id, min neighbor) —
+    // for the clique-ish components near-dup graphs produce this is
+    // already the fixpoint (the first loop round then just verifies).
+    var labels: RDD[(Long, Long)] = und
+      .mapPartitions(it => minFoldByKey(it.map { case (p, t) => (t, p) }))
+      .partitionBy(part)
+      .mapPartitions(it => minFoldByKey(it.map { case (v, c) => (v, math.min(v, c)) }),
+        preservesPartitioning = true)
+      .cache()
+    var converged = false
+    var rounds = 0
+    val ccDebug = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
+    while (!converged) {
+      rounds += 1
+      val tR = System.nanoTime()
+      val changed = s.sparkContext.longAccumulator(s"graft.cc.changed.$rounds")
+      // S1: propose min labels along edges (lookup narrow, pre-combined)
+      val prop = und.zipPartitions(labels) { (eIt, lIt) =>
+        val lbl = toLongMap(lIt)
+        minFoldByKey(eIt.map { case (u, v) => (v, lbl(u)) })
+      }.partitionBy(part)
+      // merge: per-key min of (previous label, best proposal) — narrow
+      val merged = labels.zipPartitions(prop, preservesPartitioning = true) {
+        (lIt, pIt) =>
+          val m = toLongMap(lIt)
+          pIt.foreach { case (id, c) => if (c < m(id)) m(id) = c }
+          m.iterator
+      }.cache()
+      // S2+S3: pointer jump comp ← comp(comp), re-aligned to `part` and
+      // compared against the previous labels in the same pass
+      val next = merged
+        .map { case (id, c) => (c, id) }.partitionBy(part)
+        .zipPartitions(merged) { (rIt, lIt) =>
+          val m = toLongMap(lIt)
+          rIt.map { case (c, id) => (id, m.getOrElse(c, c)) }
+        }.partitionBy(part)
+        .zipPartitions(labels, preservesPartitioning = true) { (nIt, oIt) =>
+          val old = toLongMap(oIt)
+          nIt.map { case (id, cc) =>
+            if (cc != old(id)) changed.add(1L)
+            (id, cc)
+          }
+        }.cache()
+      next.foreachPartition(_ => ()) // materialize; accumulator now final
+      converged = changed.value == 0L
+      labels.unpersist(false)
+      merged.unpersist(false)
+      labels = next
+      if (ccDebug) {
+        val st = s.sparkContext.getRDDStorageInfo
+          .map(r => s"${r.id}:${r.numCachedPartitions}/${r.numPartitions}").mkString(" ")
+        println(f"[cc] round $rounds%2d lp=$lp undId=${und.id} " +
+          f"${(System.nanoTime() - tR) / 1e9}%6.2f s changed=${changed.value} cached[$st]")
+      }
+    }
+    // free the edge cache: the returned frame depends only on the FINAL
+    // labels (cached + fully materialized by the convergence count); if
+    // those blocks were ever evicted the lineage recompute is slow but
+    // correct. Without this, every invocation in a long-lived session
+    // leaked one edge-set cache.
+    und.unpersist(false)
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(labels.toDF("doc_id", "comp"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+  }
+
   /** Signature matrix: doc_id, h0..h15 — computed by the native one-pass
     * minhash_sig expression (identical values to the former explode →
     * fingerprint → groupBy(min×16) plan, with NO explode and NO shuffle:
@@ -552,157 +771,33 @@ object SparkEntry {
 
     "q_simhash_pairs" -> ((s, dir) => simhashPairs(s, dir)),
 
-    "q_dedup_components" -> ((s, dir) => {
-      // Connected components over the verified near-dup pair graph — the
-      // clustering step a real dedup pipeline runs AFTER pair generation
-      // (pairs alone over-delete: {A,B},{B,C} must keep exactly one of
-      // {A,B,C}). Hash-to-min label propagation with pointer jumping
-      // (comp ← comp(comp), O(log diameter) convergence) to the fixpoint:
-      // the order-independent canonical labeling comp = min reachable
-      // doc_id; keep = (doc_id == comp) marks the survivor. Oracle:
-      // recursive-CTE transitive closure in DuckDB.
-      //
-      // The EDGES come from the codegen'd DataFrame pipeline; the
-      // fixpoint loop itself runs on RDDs — the GraphX precedent, and the
-      // measured reason: a DataFrame loop pays whole-stage-codegen
-      // RECOMPILATION every iteration (1.3 s/iter here vs 0.15 s for the
-      // same joins as precompiled RDD ops; 6 iterations at sf0.1). This
-      // is the brief's "genuine per-partition imperative logic" carve-out.
-      import org.apache.spark.HashPartitioner
-      import org.apache.spark.rdd.RDD
-      import s.implicits._
-      // dedup MATTERS here (unlike the verify-join consumers): the edge
-      // multiset is traversed EVERY fixpoint round, so a ≤4-band duplicate
-      // pair costs 4× in every round's join — one distinct shuffle up
-      // front amortizes over all rounds. (Measured at sf0.1: 1.4M raw edge
-      // entries vs ~0.35M distinct — clique-heavy near-dup graphs make the
-      // multiset blow-up the rule, not the exception.)
-      // dedup stays ON for the edge source — re-A/B'd after the round-4
-      // LongMap rewrite (BENCH/TUNING.md): dedup=false doubles the edge
-      // multiset (≤4-band duplicates) and with it the fixpoint's partition
-      // count and every round's propose scan — 3.5 s → 6.5 s warm at
-      // sf0.1. The up-front distinct (now over hamming-verified pairs
-      // only) is cheaper than re-traversing duplicates 6 rounds.
-      val edges = simhashPairs(s, dir)
-        .select(col("id_a"), col("id_b"))
-      // The fixpoint runs ONLY over the edge-induced subgraph: a vertex with
-      // no near-dup edge is trivially its own component and never enters the
-      // loop (at 100 TB the pair graph is orders of magnitude smaller than
-      // the corpus — iterating over every doc_id would shuffle |V|-sized
-      // label state per hop for nothing). Singletons rejoin at the end via
-      // a left join + coalesce.
-      val undRaw = edges.as[(Long, Long)].rdd
-        .flatMap { case (a, b) => Iterator((b, a), (a, b)) } // undirected, keyed by proposer
-        .cache()
-      // partition count DERIVED from the measured edge count (≈250k edges
-      // per fixpoint task), capped by the cluster's core budget — NOT by
-      // the upstream partition count: AQE routinely coalesces the small
-      // edge DataFrame to ONE partition, and inheriting that cap would
-      // single-thread the whole fixpoint (measured exactly that at sf0.1).
-      // The label state scales with the edge graph, so its partitioning
-      // must too; a fixed count is either a 100-TB bottleneck or (locally)
-      // pure per-task scheduling overhead.
-      val nE = undRaw.count()
-      val lp = math.max(1, math.min(s.sparkContext.defaultParallelism,
-        math.ceil(nE / 250000.0).toInt))
-      val part = new HashPartitioner(lp)
-      val und = undRaw.partitionBy(part).cache()
-      und.foreachPartition(_ => ()) // materialize, then free the raw copy
-      undRaw.unpersist(false)
-      // ---- Fixpoint round structure (round-4 rewrite; BENCH/TUNING.md r4):
-      // the round-3 join/reduceByKey/union formulation paid 4-6 shuffles per
-      // round — `labels` lost its partitioner at every map, so each join
-      // RE-shuffled the full label state, and every cogroup/combiner ran an
-      // ExternalAppendOnlyMap whose SizeTracker sampling dominated the
-      // profile (QTime round 3b). This formulation keeps `labels`
-      // hash-partitioned by `part` across rounds and does all per-partition
-      // work in plain LongMaps:
-      //   S1  prop:   edges look labels up via narrow zipPartitions (both
-      //               sides co-partitioned by `part`), pre-combined per map
-      //               partition (manual map-side combine, bounded by the
-      //               250k-edges/task sizing) → ONE plain partitionBy
-      //               shuffle of (target, candComp) pairs;
-      //   —   merge:  labels ⊕ prop min-merge, zipPartitions, NO shuffle;
-      //   S2  jump:   comp ← comp(comp) (pointer jumping keeps chained
-      //               near-dups at O(log diameter)): swap-key partitionBy;
-      //   S3  align:  jump results re-keyed by id back to `part`, then a
-      //               narrow compare against the previous labels COUNTS
-      //               CHANGES IN AN ACCUMULATOR inside the same job that
-      //               materializes the round — convergence costs ZERO extra
-      //               jobs (over-count on a task retry only means one extra
-      //               no-op round; under-count is impossible in a job that
-      //               ran to completion).
-      // 3 plain (Long,Long) shuffles per round, no aggregation machinery,
-      // no redundant label re-shuffles. Per-partition helpers live in the
-      // serializable [[CCKernels]] object (static access — a local def here
-      // would pull the enclosing non-serializable closure into every task).
-      import CCKernels.{minFoldByKey, toLongMap}
-      // label init fused with round 1: comp(id) = min(id, min neighbor) —
-      // for the clique-ish components near-dup graphs produce this is
-      // already the fixpoint (the first loop round then just verifies).
-      var labels: RDD[(Long, Long)] = und
-        .mapPartitions(it => minFoldByKey(it.map { case (p, t) => (t, p) }))
-        .partitionBy(part)
-        .mapPartitions(it => minFoldByKey(it.map { case (v, c) => (v, math.min(v, c)) }),
-          preservesPartitioning = true)
-        .cache()
-      var converged = false
-      var rounds = 0
-      val ccDebug = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
-      while (!converged) {
-        rounds += 1
-        val tR = System.nanoTime()
-        val changed = s.sparkContext.longAccumulator(s"graft.cc.changed.$rounds")
-        // S1: propose min labels along edges (lookup narrow, pre-combined)
-        val prop = und.zipPartitions(labels) { (eIt, lIt) =>
-          val lbl = toLongMap(lIt)
-          minFoldByKey(eIt.map { case (u, v) => (v, lbl(u)) })
-        }.partitionBy(part)
-        // merge: per-key min of (previous label, best proposal) — narrow
-        val merged = labels.zipPartitions(prop, preservesPartitioning = true) {
-          (lIt, pIt) =>
-            val m = toLongMap(lIt)
-            pIt.foreach { case (id, c) => if (c < m(id)) m(id) = c }
-            m.iterator
-        }.cache()
-        // S2+S3: pointer jump comp ← comp(comp), re-aligned to `part` and
-        // compared against the previous labels in the same pass
-        val next = merged
-          .map { case (id, c) => (c, id) }.partitionBy(part)
-          .zipPartitions(merged) { (rIt, lIt) =>
-            val m = toLongMap(lIt)
-            rIt.map { case (c, id) => (id, m.getOrElse(c, c)) }
-          }.partitionBy(part)
-          .zipPartitions(labels, preservesPartitioning = true) { (nIt, oIt) =>
-            val old = toLongMap(oIt)
-            nIt.map { case (id, cc) =>
-              if (cc != old(id)) changed.add(1L)
-              (id, cc)
-            }
-          }.cache()
-        next.foreachPartition(_ => ()) // materialize; accumulator now final
-        converged = changed.value == 0L
-        labels.unpersist(false)
-        merged.unpersist(false)
-        labels = next
-        if (ccDebug) {
-          val st = s.sparkContext.getRDDStorageInfo
-            .map(r => s"${r.id}:${r.numCachedPartitions}/${r.numPartitions}").mkString(" ")
-          println(f"[cc] round $rounds%2d lp=$lp undId=${und.id} " +
-            f"${(System.nanoTime() - tR) / 1e9}%6.2f s changed=${changed.value} cached[$st]")
-        }
-      }
-      // free the edge cache: the returned frame depends only on the FINAL
-      // labels (cached + fully materialized by the convergence count); if
-      // those blocks were ever evicted the lineage recompute is slow but
-      // correct. Without this, every invocation in a long-lived session
-      // leaked one edge-set cache.
-      und.unpersist(false)
-      t(s, dir, "documents").select(col("doc_id"))
-        .join(labels.toDF("doc_id", "comp"), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
-        .withColumn("keep", col("doc_id") === col("comp"))
+    "q_dedup_components" -> ((s, dir) =>
+      // keep = (doc_id == comp) marks the min-id survivor; the fixpoint
+      // itself is the shared [[componentMap]] (also feeds q_dedup_survivor)
+      componentMap(s, dir).withColumn("keep", col("doc_id") === col("comp"))),
+
+    "q_dedup_survivor" -> ((s, dir) => {
+      // Quality-based survivor election: near-dup CLUSTERS keep their
+      // highest-quality member, not the arbitrary min-id one — what a real
+      // training-data pipeline does (among near-duplicate pages keep the
+      // cleanest rendering). Reuses the [[componentMap]] fixpoint; the
+      // election itself is ONE partial-aggregatable
+      // min(struct(-quality, doc_id)) groupBy — map-side combine, NO window
+      // over the component key, so a giant dup cluster sends ≤ 1 row per
+      // map task. Quality is the round(·,4) score both engines compute
+      // bit-identically (q_text_stats); -quality is an exact sign flip
+      // (and -(-q) restores q's bits), so the lexicographic min IS
+      // (max quality, tie → min doc_id).
+      val q = t(s, dir, "documents").select(col("doc_id"),
+        round(TF.qualityScore(col("text")), 4).as("quality"))
+      componentMap(s, dir).join(q, "doc_id")
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"),
+          min(struct((-col("quality")).as("nq"), col("doc_id").as("id"))).as("m"))
+        .select(col("comp"), col("n_members"),
+          col("m.id").as("survivor_id"), (-col("m.nq")).as("quality"))
     }),
+
 
     "q_dedup_embed_cosine" -> ((s, dir) => {
       // norms precomputed once per vector; dot via the native codegen'd
@@ -1147,60 +1242,12 @@ object SparkEntry {
       // construction; exactness twin = q_knn_cosine (IvfRecallSpec pins
       // recall@5 against it).
       VF.register(s)
-      import s.implicits._
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"), VF.l2NormF(col("embedding")).as("nrm"))
-      val qz = e.withColumn("qv",
-        transform(col("embedding"), x => floor(x.cast("double") * IvfScale + lit(0.5))))
-      // nearest-centroid map (vec_id → cent_id): native integer sqdist_l
-      // against the broadcast centroid set, argmin as min(struct(d2, cent))
-      // — partial-aggregatable (map-side combine), no window sort; the
-      // (d2, cent_id) lexicographic min IS the tie-break the oracle uses
-      def nearestMap(points: DataFrame, idCol: String, cents: DataFrame): DataFrame =
-        points.crossJoin(broadcast(cents))
-          .withColumn("_d2", VF.sqDistL(col("qv"), col("cv")))
-          .groupBy(col(idCol))
-          .agg(min(struct(col("_d2"), col("cent_id"))).as("m"))
-          .select(col(idCol), col("m.cent_id").as("cent_id"))
-      // ---- Lloyd's on the DRIVER over a bounded deterministic training
-      // sample (the FAISS discipline: the coarse quantizer trains on a
-      // fixed-size sample — constant driver work regardless of corpus
-      // size — while assignment and search stay distributed; at these SFs
-      // the sample is the full vector set, so the oracle's full-set
-      // unrolled training matches bit-for-bit). Same arithmetic as the
-      // former per-iteration Spark jobs (integer sq-dists, lexicographic
-      // (d2, cent_id) argmin, floored means, empty clusters dropped), but
-      // 1 collect instead of 6 scan+shuffle jobs per query.
-      val dims = 64
-      val trainRows = qz.filter(col("vec_id") < IvfMaxTrain)
-        .select(col("vec_id"), col("qv"))
-        .as[(Long, Seq[Long])].collect().sortBy(_._1)
-      val train = trainRows.map(_._2.toArray)
-      var centsL: Vector[(Int, Array[Long])] = trainRows
-        .collect { case (id, v) if id < IvfK => (id.toInt, v.toArray) }.toVector
-      for (_ <- 0 until IvfIters) {
-        val sums = centsL.map { case (id, _) => id -> new Array[Long](dims) }.toMap
-        val counts = scala.collection.mutable.Map(centsL.map(_._1 -> 0L): _*)
-        train.foreach { v =>
-          var bestId = -1; var bestD = Long.MaxValue
-          centsL.foreach { case (id, cvv) =>
-            var d = 0L; var i = 0
-            while (i < dims) { val t = v(i) - cvv(i); d += t * t; i += 1 }
-            if (d < bestD) { bestD = d; bestId = id } // ascending id ⇒ lexicographic (d2, id) min
-          }
-          counts(bestId) += 1
-          val sm = sums(bestId)
-          var i = 0; while (i < dims) { sm(i) += v(i); i += 1 }
-        }
-        // floored mean, computed exactly as the engines would:
-        // floor(sum::DOUBLE / n) — |sum| < 2^53 so the division is exact-input
-        centsL = centsL.collect { case (id, _) if counts(id) > 0 =>
-          val n = counts(id); val sm = sums(id)
-          (id, Array.tabulate(dims)(i => math.floor(sm(i).toDouble / n).toLong))
-        }
-      }
-      val cents = centsL.map { case (id, v) => (id, v.toSeq) }.toDF("cent_id", "cv")
-      val assign = qz.join(broadcast(nearestMap(qz.select(col("vec_id"), col("qv")), "vec_id", cents)), "vec_id")
+      val qz = ivfQuantized(e)
+      val cents = ivfTrainCentroids(s, qz)
+      val assign = qz.join(
+        broadcast(ivfNearestMap(qz.select(col("vec_id"), col("qv")), "vec_id", cents)), "vec_id")
       val q = qz.filter(col("vec_id") >= 100 && col("vec_id") < 110)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("nrm").as("qnrm"), col("qv"))
@@ -1217,6 +1264,46 @@ object SparkEntry {
         .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 5)
         .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
           round(col("sim"), 6).as("sim"))
+    }),
+
+    "q_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+      // cluster the embedding space FIRST with the same trained coarse
+      // quantizer as q_knn_ivf, then look for near-duplicates ONLY within a
+      // cluster — pairwise cosine is bounded by the cluster population,
+      // never corpus-wide (contrast the all-pairs q_dedup_embed_cosine
+      // twin). At 10^12 rows k grows with the corpus (k ≈ n/⟨cluster⟩ keeps
+      // the per-cluster pair count constant — the paper uses k = 50k for
+      // LAION), the pair join shuffles on cent_id alone, and the centroid
+      // set stays a broadcast. Keep rule: a vector is dropped iff a
+      // LOWER-id vector in its cluster is ≥ τ cosine-similar (the paper
+      // orders by distance-to-centroid; any stable total order gives the
+      // same dedup guarantee — one pass, no transitive closure needed).
+      // Float policy: the cosine is a strictly sequential fold with
+      // identical op order in both engines, so the τ compare is bit-exact.
+      VF.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), VF.l2NormF(col("embedding")).as("nrm"))
+      val qz = ivfQuantized(e)
+      val cents = ivfTrainCentroids(s, qz)
+      // assignment WITHOUT a join-back: argmin over the 16 broadcast
+      // centroids carries embedding+nrm through ONE partial-aggregatable
+      // min(struct(...)) — (d2, cent_id) is unique per group so the
+      // trailing struct fields never participate in the comparison
+      val assign = qz.crossJoin(broadcast(cents))
+        .withColumn("_d2", VF.sqDistL(col("qv"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("_d2"), col("cent_id"), col("embedding"), col("nrm"))).as("m"))
+        .select(col("vec_id"), col("m.cent_id").as("cent_id"),
+          col("m.embedding").as("embedding"), col("m.nrm").as("nrm"))
+      val dups = assign.as("a").join(assign.as("b"),
+          col("a.cent_id") === col("b.cent_id") && col("a.vec_id") < col("b.vec_id"))
+        .filter(VF.dotF(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")) >= SemDedupTau)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      assign.select(col("vec_id"), col("cent_id"))
+        .join(dups.withColumn("_dup", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cent_id"), col("_dup").isNull.as("kept"))
     }),
 
     // -------------------------------------------------- text analysis
@@ -1637,14 +1724,46 @@ object SparkEntry {
         simsig AS (SELECT doc_id, cast($bits AS BIGINT) AS simhash FROM hs GROUP BY doc_id)"""
   }
 
+  /** Recursive transitive closure of the simhash near-dup graph, yielding
+    * comp(doc_id, comp) — the SQL twin of [[componentMap]], shared by the
+    * q_dedup_components and q_dedup_survivor oracles. Base case seeds every
+    * doc with itself, so singletons keep comp = doc_id. */
+  private def oComponentCtes: String =
+    s"""$oSimhashCtes,
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM simsig a JOIN simsig b ON a.doc_id < b.doc_id
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT doc_id, doc_id FROM simsig
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY 1)"""
+
+  /** The q_text_stats quality score (round 4 digits), over a scope binding
+    * `text` and `w` = string_split_regex(trim(text), ' +') — the SQL twin of
+    * TF.qualityScore; shared by the q_text_stats and q_dedup_survivor
+    * oracles. */
+  private def oQualityExpr: String =
+    s"""round(
+          least(1.0, 4.0 * (len(list_filter(w, x -> list_contains($oStop, x)))::DOUBLE / len(w))) *
+          least(1.0, (length(regexp_replace(trim(text), ' +', '', 'g'))::DOUBLE / len(w)) / 4) *
+          (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)), 4)"""
+
   /** q_knn_ivf oracle: Lloyd's k-means unrolled to [[IvfIters]] iterations in
     * scaled-integer space — every training step (sum, floored mean, squared
     * distance, argmin with cent_id tie-break) is exact integer/IEEE-double
     * arithmetic identical to the Spark side, so the trained centroids are
     * bit-reproducible across engines. */
-  private def oKnnIvf: String = {
-    def oD2(a: String, b: String): String =
-      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 64), i -> ($a[i]-$b[i])*($a[i]-$b[i]))), (acc, x) -> acc + x)"
+  private def oD2(a: String, b: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 64), i -> ($a[i]-$b[i])*($a[i]-$b[i]))), (acc, x) -> acc + x)"
+
+  /** Shared WITH-clause prefix for the IVF-family oracles (q_knn_ivf,
+    * q_semantic_dedup): quantization (qz), unrolled Lloyd's training
+    * (c0..c$IvfIters), and nearest-centroid assignment — the SQL twin of
+    * [[ivfQuantized]]/[[ivfTrainCentroids]]/[[ivfNearestMap]]. */
+  private def oIvfCtes: String = {
     val iterCtes = (0 until IvfIters).map { it =>
       s"""a$it AS (SELECT vec_id, qv, cent_id FROM (
             SELECT qz.vec_id, qz.qv, c.cent_id,
@@ -1656,7 +1775,7 @@ object SparkEntry {
             GROUP BY cent_id, i),
           c${it + 1} AS (SELECT cent_id, list(c ORDER BY i) AS cv FROM s$it GROUP BY cent_id)"""
     }.mkString(",\n          ")
-    s"""WITH e AS (SELECT vec_id, embedding, ${oNorm("embedding")} AS nrm FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding, ${oNorm("embedding")} AS nrm FROM embeddings),
         qz AS (SELECT vec_id, embedding, nrm,
           list_transform(generate_series(1, 64),
             i -> CAST(floor(embedding[i]::DOUBLE * $IvfScale + 0.5) AS BIGINT)) AS qv FROM e),
@@ -1666,7 +1785,11 @@ object SparkEntry {
           SELECT qz.vec_id, qz.embedding, qz.nrm, c.cent_id,
             row_number() OVER (PARTITION BY qz.vec_id
               ORDER BY ${oD2("qz.qv", "c.cv")}, c.cent_id) AS rk
-          FROM qz CROSS JOIN c$IvfIters c) WHERE rk = 1),
+          FROM qz CROSS JOIN c$IvfIters c) WHERE rk = 1)"""
+  }
+
+  private def oKnnIvf: String = {
+    s"""WITH $oIvfCtes,
         q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qnrm, qv FROM qz
           WHERE vec_id >= 100 AND vec_id < 110),
         probes AS (SELECT query_id, qe, qnrm, cent_id FROM (
@@ -2089,18 +2212,24 @@ object SparkEntry {
     "q_dedup_components" ->
       // transitive closure of the (all-pairs-form) near-dup graph; base
       // case seeds every doc with itself, so singletons keep comp = doc_id
-      s"""WITH RECURSIVE $oSimhashCtes,
-          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                    FROM simsig a JOIN simsig b ON a.doc_id < b.doc_id
-                    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-          edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-                    UNION SELECT id_b, id_a FROM pairs),
-          reach(a, b) AS (
-            SELECT doc_id, doc_id FROM simsig
-            UNION
-            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-          comp AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY 1)
+      s"""WITH RECURSIVE $oComponentCtes
           SELECT doc_id, comp, doc_id = comp AS keep FROM comp""",
+
+    "q_dedup_survivor" ->
+      // same transitive closure, election = (max quality, tie min doc_id):
+      // ORDER BY quality DESC, doc_id ≡ Spark's min(struct(-quality, id))
+      // for finite doubles (exact sign flip; -0.0 vs 0.0 compare equal so
+      // the tie falls to doc_id identically in both engines)
+      s"""WITH RECURSIVE $oComponentCtes,
+          q AS (SELECT doc_id, $oQualityExpr AS quality
+                FROM (SELECT doc_id, text, string_split_regex(trim(text), ' +') AS w
+                      FROM documents))
+          SELECT comp, n_members, doc_id AS survivor_id, quality FROM (
+            SELECT c.comp, c.doc_id, q.quality,
+              count(*) OVER (PARTITION BY c.comp) AS n_members,
+              row_number() OVER (PARTITION BY c.comp
+                ORDER BY q.quality DESC, c.doc_id) AS rk
+            FROM comp c JOIN q ON c.doc_id = q.doc_id) WHERE rk = 1""",
 
     "q_split_assign" -> {
       val pct = s"((${oFpBody.format("cast(doc_id AS VARCHAR)", "cast(doc_id AS VARCHAR)")} % 100) + 100) % 100"
@@ -2256,6 +2385,19 @@ object SparkEntry {
 
     "q_knn_ivf" -> oKnnIvf,
 
+    "q_semantic_dedup" ->
+      // cluster-scoped cosine pairs over the SAME unrolled training +
+      // assignment CTEs as the q_knn_ivf oracle; kept = no lower-id
+      // in-cluster neighbor at ≥ τ cosine
+      s"""WITH $oIvfCtes,
+          pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                    FROM assign a JOIN assign b
+                    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+                    WHERE ${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $SemDedupTau),
+          dups AS (SELECT DISTINCT id_b FROM pairs)
+          SELECT a.vec_id, a.cent_id, d.id_b IS NULL AS kept
+          FROM assign a LEFT JOIN dups d ON a.vec_id = d.id_b""",
+
     "q_dedup_embed_lsh" -> {
       val terms = (0 until graft.functions.PlaneSigF.Bits).map { j =>
         val aj = TF.hashA(j); val bj = TF.hashB(j)
@@ -2283,10 +2425,7 @@ object SparkEntry {
             len(w)::BIGINT AS n_tokens,
             len(list_distinct(w))::BIGINT AS n_distinct,
             len(list_filter(w, x -> list_contains($oStop, x)))::BIGINT AS n_stop,
-            round(
-              least(1.0, 4.0 * (len(list_filter(w, x -> list_contains($oStop, x)))::DOUBLE / len(w))) *
-              least(1.0, (length(regexp_replace(trim(text), ' +', '', 'g'))::DOUBLE / len(w)) / 4) *
-              (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)), 4) AS quality
+            $oQualityExpr AS quality
           FROM (SELECT doc_id, text, string_split_regex(trim(text), ' +') AS w FROM documents)""",
 
     "q_token_bpe" ->

@@ -99,6 +99,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("semantic dedup: cluster-scoped pairs only — no all-pairs join, no UDFs") {
+    val p = planOf("q_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join is against the broadcast ≤16-centroid set;
+    // the pair join itself is an equi-join on cent_id
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    // centroid assignment is ONE partial-aggregated argmin, not a window
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("survivor election is a partial-aggregated groupBy, not a window over the component key") {
+    val p = planOf("q_dedup_survivor")
+    // a hot dup-cluster key must never funnel through a single window
+    // partition: the election is min(struct(-quality, id)) with map-side
+    // combine (≤ 1 row per map task per component)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min"), p)
+  }
+
   test("flagship pipeline has exactly ONE exchange (order restore; kernel fused on scan)") {
     val ds = ExtractPipeline.run(spark,
       TranscriptGen.dataset(spark, 42L, nConvs = 10, hotBase = 20))
