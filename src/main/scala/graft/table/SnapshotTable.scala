@@ -226,6 +226,32 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     spark.read.parquet(entries.map(_.path): _*)
   }
 
+  /** Per-bucket table statistics straight from the live manifest — the
+    * Iceberg metadata-table analog (`table$partitions`): turns / blocks /
+    * chars and the ts range come from the commit-time accumulators, so the
+    * query costs ZERO data-file IO. At 100 TB the difference between a
+    * manifest read and a table scan is the whole point of carrying stats
+    * in the manifest — "how big is each bucket / how fresh is the data"
+    * must not cost a cluster job. One row per bucket, aggregated over the
+    * bucket's file sets (incremental/streaming commits append several). */
+  def stats(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    committedEntries(spark)
+      .map(e => (e.bucket, e.turns, e.blocksKept, e.blocksDropped,
+        e.charsEmitted, e.minTs, e.maxTs))
+      .toDF("bucket", "turns", "blocksKept", "blocksDropped",
+        "charsEmitted", "minTs", "maxTs")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_filesets"),
+        sum(col("turns")).as("turns"),
+        sum(col("blocksKept")).as("blocks_kept"),
+        sum(col("blocksDropped")).as("blocks_dropped"),
+        sum(col("charsEmitted")).as("chars_emitted"),
+        min(col("minTs")).as("min_ts"),
+        max(col("maxTs")).as("max_ts"))
+      .orderBy(col("bucket"))
+  }
+
   /** Time-travel read: the table as of `snapshotId` (Iceberg
     * `VERSION AS OF` analog — compaction and later commits do not delete
     * the files older manifests reference). */

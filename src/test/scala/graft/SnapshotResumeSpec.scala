@@ -57,6 +57,39 @@ class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
     assert(fromTable.sameElements(oneShot))
   }
 
+  test("stats: per-bucket metadata-only aggregates match the data, cost no data-file IO") {
+    import testImplicits._
+    val dir = Files.createTempDirectory("snapstats").toString
+    val table = new SnapshotTable(dir, numBuckets = 8)
+    val turns = TranscriptGen.dataset(spark, seed, nConvs, hotBase, partitions = 4)
+    // two commits so at least one bucket has >1 file set to aggregate over
+    val half = turns.withColumn("bucket", table.bucketOf)
+      .where(col("bucket") < 4).drop("bucket").as[graft.model.Turn]
+    ExtractJob.runIncremental(spark, table, half, runId = "runA")
+    ExtractJob.runIncremental(spark, table, turns, runId = "runB")
+
+    val st = table.stats(spark).collect().map(r =>
+      r.getInt(0) -> (r.getLong(2), r.getLong(5))).toMap // bucket -> (turns, chars)
+
+    // ground truth from the DATA (what stats must reproduce without scanning)
+    val truth = table.read(spark)
+      .groupBy(table.bucketOf.as("bucket"))
+      .agg(count(lit(1)).as("turns"), sum(length(col("text"))).as("chars"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(st.keySet == truth.keySet)
+    for ((b, (n, _)) <- truth) assert(st(b)._1 == n, s"bucket $b turns")
+
+    // metadata-only: the stats job must read ZERO parquet data files —
+    // rename the data directory out from under the table; stats still works
+    val hidden = java.nio.file.Paths.get(dir, "data_hidden")
+    Files.move(java.nio.file.Paths.get(dir, "data"), hidden)
+    try {
+      val again = table.stats(spark).collect().map(r =>
+        r.getInt(0) -> (r.getLong(2), r.getLong(5))).toMap
+      assert(again == st)
+    } finally Files.move(hidden, java.nio.file.Paths.get(dir, "data"))
+  }
+
   test("bucket-pruned conversation read touches only one bucket's files") {
     import testImplicits._
     val dir = Files.createTempDirectory("snap").toString
