@@ -194,8 +194,27 @@ object SparkEntry {
     * reason: a DataFrame loop pays whole-stage-codegen RECOMPILATION
     * every iteration (1.3 s/iter here vs 0.15 s for the same joins as
     * precompiled RDD ops; 6 iterations at sf0.1). This is the brief's
-    * "genuine per-partition imperative logic" carve-out. */
-  private def componentMap(s: SparkSession, dir: String): DataFrame = {
+    * "genuine per-partition imperative logic" carve-out.
+    *
+    * MEMOIZED per (session, dir): three driver queries consume the map
+    * (q_dedup_components / q_dedup_survivor / q_split_leakfree), and a real
+    * pipeline computes components ONCE and fans consumers out from the
+    * materialized result — re-running a multi-round distributed fixpoint
+    * per consumer would be the actual anti-pattern at 100 TB. persist
+    * (MEMORY_AND_DISK, lineage kept — an evicted block recomputes slowly
+    * but correctly) + an eager count so the first consumer pays the
+    * fixpoint and the rest pay a cached scan. */
+  private val compCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def componentMap(s: SparkSession, dir: String): DataFrame =
+    compCache.computeIfAbsent((s, dir), { _ =>
+      val df = componentMapBuild(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+
+  private def componentMapBuild(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
     import s.implicits._
@@ -933,6 +952,24 @@ object SparkEntry {
         col("doc_id").cast("string")), lit(100L))
       t(s, dir, "documents").select(
         col("doc_id"), col("lang"), pct.as("pct"),
+        when(pct < 80, "train").when(pct < 90, "val").otherwise("test").as("split"))
+    }),
+
+    "q_split_leakfree" -> ((s, dir) => {
+      // Leakage-free variant of q_split_assign: split by near-dup
+      // COMPONENT, not by document — two near-duplicates of the same page
+      // must never straddle train and test (the doc-keyed split's classic
+      // eval-contamination bug). Same portable fingerprint arithmetic,
+      // keyed on the component label, so every member of a dup cluster
+      // lands in the same split BY CONSTRUCTION, not by post-hoc
+      // filtering; singletons (comp = doc_id) split exactly like the
+      // doc-keyed form. Cost on top of the [[componentMap]] fixpoint is
+      // one narrow map.
+      TextFingerprint.register(s)
+      val pct = pmod(call_function("text_fingerprint",
+        col("comp").cast("string")), lit(100L))
+      componentMap(s, dir).select(
+        col("doc_id"), col("comp"), pct.as("pct"),
         when(pct < 80, "train").when(pct < 90, "val").otherwise("test").as("split"))
     }),
 
@@ -2237,6 +2274,15 @@ object SparkEntry {
             CASE WHEN $pct < 80 THEN 'train'
                  WHEN $pct < 90 THEN 'val' ELSE 'test' END AS split
           FROM documents"""
+    },
+
+    "q_split_leakfree" -> {
+      val pct = s"((${oFpBody.format("cast(comp AS VARCHAR)", "cast(comp AS VARCHAR)")} % 100) + 100) % 100"
+      s"""WITH RECURSIVE $oComponentCtes
+          SELECT doc_id, comp, $pct AS pct,
+            CASE WHEN $pct < 80 THEN 'train'
+                 WHEN $pct < 90 THEN 'val' ELSE 'test' END AS split
+          FROM comp"""
     },
 
     "q_pack_sequences" -> {
