@@ -206,13 +206,18 @@ object SparkEntry {
     * fixpoint and the rest pay a cached scan. */
   private val compCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def componentMap(s: SparkSession, dir: String): DataFrame =
+  private def componentMap(s: SparkSession, dir: String): DataFrame = {
+    // a stopped session's cached plan is unusable AND pins the session:
+    // evict dead entries so a long-lived JVM (sbt test with a self-healing
+    // shared session) never accumulates them
+    compCache.keySet.removeIf(_._1.sparkContext.isStopped)
     compCache.computeIfAbsent((s, dir), { _ =>
       val df = componentMapBuild(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df
     })
+  }
 
   private def componentMapBuild(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.HashPartitioner
