@@ -7,6 +7,8 @@
 set -euo pipefail
 CLASSES="${1:-/tmp/bench_classes}"
 MAIN="${2:-graft.Bench}"
+# consume the two positionals so "$@" below is ONLY the main's own args
+shift $(( $# > 2 ? 2 : $# ))
 MEM="${SPARK_DRIVER_MEM:-32g}"
 case "$MEM" in
   *[gG]) MB=$(( ${MEM%?} * 1024 ));;
