@@ -1338,6 +1338,16 @@ object SparkEntry {
         .agg(min(struct(col("_d2"), col("cent_id"), col("embedding"), col("nrm"))).as("m"))
         .select(col("vec_id"), col("m.cent_id").as("cent_id"),
           col("m.embedding").as("embedding"), col("m.nrm").as("nrm"))
+      // Three consumers read `assign` (both self-join sides + the keep-flag
+      // join); AQE's ReuseExchange unifies two, and an IsNotNull pushed into
+      // the join branches breaks canonical equality with the outer-join
+      // branch, so the assignment aggregation computes twice here. A
+      // localCheckpoint that materializes it once A/B'd WITHIN host noise
+      // at sf0.1 (0.7-1.8 s both ways across windows) — the fused plan
+      // stays because checkpointing is not the scale mechanism either: at
+      // 10^9+ vectors the pipeline stages `assign` as a TABLE (one corpus
+      // pass, consumers scan the stage), exactly like the snapshot layer
+      // stages extraction output.
       val dups = assign.as("a").join(assign.as("b"),
           col("a.cent_id") === col("b.cent_id") && col("a.vec_id") < col("b.vec_id"))
         .filter(VF.dotF(col("a.embedding"), col("b.embedding"))
