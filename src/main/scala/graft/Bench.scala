@@ -172,11 +172,14 @@ object Bench {
       sec
     }
     runOnce(bigCpus); runOnce(smallCpus) // global warm (full corpus, untimed)
-    val s1 = runOnce(smallCpus); val b1 = runOnce(bigCpus)
-    val s2 = runOnce(smallCpus); val b2 = runOnce(bigCpus)
-    val s3 = runOnce(smallCpus); val b3 = runOnce(bigCpus)
-    val secSmall = Seq(s1, s2, s3).min
-    val secBig = Seq(b1, b2, b3).min
+    // reps knob: the shared host's clean windows can be shorter than a
+    // best-of-3 sample (~9 min) — REPS=2 or 1 trades repetition for a
+    // sample that FITS the window (the host probes taken with the sample
+    // still qualify it either way)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val pairs = (0 until reps).map(_ => (runOnce(smallCpus), runOnce(bigCpus)))
+    val secSmall = pairs.map(_._1).min
+    val secBig = pairs.map(_._2).min
     deleteRecursively(new java.io.File(benchOut))
 
     // ---- operator queries at local[cpus] (after the scaling phase: the
