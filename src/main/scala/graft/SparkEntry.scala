@@ -112,6 +112,48 @@ object SparkEntry {
   private val IvfScale = 1000000.0
   private val IvfMaxTrain = 65536L
 
+  /** IVF ANN with a TRAINED coarse quantizer (q_knn_ivf body): deterministic
+    * Lloyd's k-means (k=IvfK, IvfIters iterations, init = first k vectors)
+    * run in SCALED-INTEGER space — vectors quantized to floor(x·10⁶ + 0.5) —
+    * so sums, means (floor of an exact double division), and squared
+    * distances are exact and order-independent, making training
+    * bit-reproducible in DuckDB (the oracle unrolls the same iterations).
+    * Queries probe their `nprobe` nearest centroids and search only those
+    * inverted lists (equi-join on cent_id, no full cross join); the in-list
+    * ranking is exact float cosine. Approximate by construction; exactness
+    * twin = q_knn_cosine.
+    *
+    * `nprobe` is the FAISS-style runtime recall/cost dial: expected scanned
+    * fraction ≈ nprobe/IvfK (recall/cost curve measured in IvfRecallSpec and
+    * BENCH/TUNING.md; at nprobe = IvfK every list is searched and the result
+    * is EXACTLY the brute-force top-k — spec-asserted). The shipped default
+    * (the `q_knn_ivf` driver query and its oracle) is nprobe = 2. */
+  private[graft] def knnIvf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    VF.register(s)
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), VF.l2NormF(col("embedding")).as("nrm"))
+    val qz = ivfQuantized(e)
+    val cents = ivfTrainCentroids(s, qz)
+    val assign = qz.join(
+      broadcast(ivfNearestMap(qz.select(col("vec_id"), col("qv")), "vec_id", cents)), "vec_id")
+    val q = qz.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"), col("qv"))
+    // nprobe-list selection per query: rank the IvfK centroids (bounded side)
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("_d2"), col("cent_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("_d2", VF.sqDistL(col("qv"), col("cv")))
+      .withColumn("_rk", row_number().over(wProbe)).filter(col("_rk") <= nprobe)
+      .select(col("query_id"), col("qe"), col("qnrm"), col("cent_id"))
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    probes.join(assign.select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id")), "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", VF.dotF(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")))
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Cosine threshold for cluster-scoped semantic dedup (q_semantic_dedup);
     * same value as the banded-LSH verify threshold (q_dedup_embed_lsh) so
     * the two embedding-dedup paths are comparable. */
@@ -1271,42 +1313,7 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     }),
 
-    "q_knn_ivf" -> ((s, dir) => {
-      // IVF ANN with a TRAINED coarse quantizer: deterministic Lloyd's
-      // k-means (k=16, 3 iterations, init = first k vectors) run in
-      // SCALED-INTEGER space — vectors quantized to floor(x·10⁶ + 0.5) —
-      // so sums, means (floor of an exact double division), and squared
-      // distances are exact and order-independent, making training
-      // bit-reproducible in DuckDB (the oracle unrolls the same
-      // iterations). Queries probe their 2 nearest centroids and search
-      // only those inverted lists (equi-join on cent_id, no full cross
-      // join); the in-list ranking is exact float cosine. Approximate by
-      // construction; exactness twin = q_knn_cosine (IvfRecallSpec pins
-      // recall@5 against it).
-      VF.register(s)
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"), VF.l2NormF(col("embedding")).as("nrm"))
-      val qz = ivfQuantized(e)
-      val cents = ivfTrainCentroids(s, qz)
-      val assign = qz.join(
-        broadcast(ivfNearestMap(qz.select(col("vec_id"), col("qv")), "vec_id", cents)), "vec_id")
-      val q = qz.filter(col("vec_id") >= 100 && col("vec_id") < 110)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("nrm").as("qnrm"), col("qv"))
-      // 2-probe selection per query: rank the 16 centroids (bounded side)
-      val wProbe = Window.partitionBy(col("query_id")).orderBy(col("_d2"), col("cent_id"))
-      val probes = q.crossJoin(broadcast(cents))
-        .withColumn("_d2", VF.sqDistL(col("qv"), col("cv")))
-        .withColumn("_rk", row_number().over(wProbe)).filter(col("_rk") <= 2)
-        .select(col("query_id"), col("qe"), col("qnrm"), col("cent_id"))
-      val wTop = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
-      probes.join(assign.select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id")), "cent_id")
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("sim", VF.dotF(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")))
-        .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 5)
-        .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
-          round(col("sim"), 6).as("sim"))
-    }),
+    "q_knn_ivf" -> ((s, dir) => knnIvf(s, dir, nprobe = 2)),
 
     "q_semantic_dedup" -> ((s, dir) => {
       // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):

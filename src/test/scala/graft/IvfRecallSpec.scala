@@ -39,6 +39,44 @@ class IvfRecallSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.25, f"recall $recall%.3f under floor 0.25")
   }
 
+  test("nprobe recall/cost curve is monotone and reaches brute-force EXACTLY at full probe") {
+    // exact ground truth (same construction as above, kept independent so
+    // each test stands alone)
+    VF.register(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), VF.l2NormF(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", VF.dotF(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    // nprobe is the runtime recall/cost dial (scanned fraction ~= nprobe/16
+    // of the corpus): recall must be non-decreasing in nprobe, and at
+    // nprobe = 16 (every list searched) the IVF plan degenerates to brute
+    // force — same candidate set, same (sim desc, vec_id) tie order — so
+    // the top-5 must be IDENTICAL to exact, ranks included, not just
+    // high-recall. Measured curve recorded in BENCH/TUNING.md.
+    val exactPairs = exact.map { case (qid, _, nid) => (qid, nid) }
+    val curve = Seq(1, 2, 4, 8, 16).map { nprobe =>
+      val got = SparkEntry.knnIvf(spark, sf, nprobe)
+        .select(col("query_id"), col("rk"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      if (nprobe == 16)
+        assert(got.toSet == exact, "full-probe IVF must equal brute force rank-for-rank")
+      val gotPairs = got.map { case (qid, _, nid) => (qid, nid) }.toSet
+      nprobe -> (gotPairs & exactPairs).size.toDouble / exactPairs.size
+    }
+    info(curve.map { case (p, r) => f"nprobe=$p%2d recall@5=$r%.3f" }.mkString("  "))
+    curve.sliding(2).foreach { case Seq((p1, r1), (p2, r2)) =>
+      assert(r2 >= r1, f"recall fell $r1%.3f -> $r2%.3f from nprobe=$p1 to $p2")
+    }
+    assert(curve.last._2 == 1.0)
+  }
+
   test("semantic dedup is sound (never drops a non-duplicate) and its cluster " +
     "scoping recalls a useful fraction of the true cosine-pair graph") {
     // Soundness: every DROPPED vector must have a true >= tau cosine
