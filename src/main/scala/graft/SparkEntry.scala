@@ -189,14 +189,33 @@ object SparkEntry {
     * division's input is exact), empty clusters dropped. */
   private def ivfTrainCentroids(s: SparkSession, qz: DataFrame): DataFrame = {
     import s.implicits._
-    val dims = 64
-    val trainRows = qz.filter(col("vec_id") < IvfMaxTrain)
+    val trainRows = ivfTrainSample(s, qz)
+    val train = trainRows.map(_._2.toArray)
+    val init: Vector[(Int, Array[Long])] = trainRows
+      .collect { case (id, v) if id < IvfK => (id.toInt, v.toArray) }.toVector
+    lloydTrain(train, init, dims = 64, iters = IvfIters)
+      .map { case (id, v) => (id, v.toSeq) }.toDF("cent_id", "cv")
+  }
+
+  /** The bounded, deterministic driver-side training sample shared by the
+    * coarse quantizer (IVF) and the PQ codebooks — ONE collect, sorted by
+    * vec_id so initialization is order-independent. */
+  private def ivfTrainSample(s: SparkSession, qz: DataFrame): Array[(Long, Seq[Long])] = {
+    import s.implicits._
+    qz.filter(col("vec_id") < IvfMaxTrain)
       .select(col("vec_id"), col("qv"))
       .as[(Long, Seq[Long])].collect().sortBy(_._1)
-    val train = trainRows.map(_._2.toArray)
-    var centsL: Vector[(Int, Array[Long])] = trainRows
-      .collect { case (id, v) if id < IvfK => (id.toInt, v.toArray) }.toVector
-    for (_ <- 0 until IvfIters) {
+  }
+
+  /** Deterministic Lloyd's iterations over integer vectors (argmin with
+    * ascending-id tie-break ⇒ lexicographic (d2, id) min; floored exact
+    * means; empty clusters dropped) — the dimension-generic core shared by
+    * [[ivfTrainCentroids]] (64-dim coarse) and [[pqTrainCodebooks]]
+    * (8-dim subspace codebooks). */
+  private def lloydTrain(train: Array[Array[Long]], init: Vector[(Int, Array[Long])],
+      dims: Int, iters: Int): Vector[(Int, Array[Long])] = {
+    var centsL = init
+    for (_ <- 0 until iters) {
       val sums = centsL.map { case (id, _) => id -> new Array[Long](dims) }.toMap
       val counts = scala.collection.mutable.Map(centsL.map(_._1 -> 0L): _*)
       train.foreach { v =>
@@ -217,8 +236,56 @@ object SparkEntry {
         (id, Array.tabulate(dims)(i => math.floor(sm(i).toDouble / n).toLong))
       }
     }
-    centsL.map { case (id, v) => (id, v.toSeq) }.toDF("cent_id", "cv")
+    centsL
   }
+
+  /** Product quantization (Jégou, Douze, Schmid, "Product Quantization for
+    * Nearest Neighbor Search", IEEE TPAMI 2011 — the FAISS IVF-PQ layout):
+    * the 64-dim embedding splits into [[PqM]] = 8 subspaces of [[PqSub]] = 8
+    * dims; each subspace trains its own [[PqK]] = 16-word codebook, so a
+    * vector compresses to 8 × 4-bit codes = 4 bytes (vs 256 bytes of float —
+    * 64×), which is what makes a 10^12-vector index fit a cluster's RAM.
+    * Same determinism discipline as the coarse quantizer: scaled-integer
+    * subvectors, [[lloydTrain]] per subspace on the bounded driver-side
+    * sample, init = first PqK vectors' subvectors — bit-reproducible in the
+    * DuckDB oracle. */
+  private val PqM = 8
+  private val PqSub = 8
+  private val PqK = 16
+  private val PqIters = 2
+
+  /** Per-subspace PQ codebooks as a (m, code, cv) DataFrame — 8×16 rows,
+    * always a broadcast. */
+  private def pqTrainCodebooks(s: SparkSession, qz: DataFrame): DataFrame = {
+    import s.implicits._
+    val trainRows = ivfTrainSample(s, qz)
+    (0 until PqM).flatMap { m =>
+      val train = trainRows.map(_._2.slice(m * PqSub, (m + 1) * PqSub).toArray)
+      val init: Vector[(Int, Array[Long])] = trainRows.collect {
+        case (id, v) if id < PqK => (id.toInt, v.slice(m * PqSub, (m + 1) * PqSub).toArray)
+      }.toVector
+      lloydTrain(train, init, dims = PqSub, iters = PqIters)
+        .map { case (code, cv) => (m, code, cv.toSeq) }
+    }.toDF("m", "code", "cv")
+  }
+
+  /** (id, m, sv) subvector rows: one row per (vector, subspace), sv = the
+    * 8 scaled-integer dims of subspace m. Narrow 8× expansion — no shuffle. */
+  private def pqSubvectors(qz: DataFrame, idCol: String): DataFrame =
+    qz.select(col(idCol), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qv"))
+      .withColumn("sv", slice(col("qv"), col("m") * PqSub + 1, lit(PqSub)))
+      .drop("qv")
+
+  /** PQ encode: nearest codebook word per (vector, subspace) — equi-join on
+    * the subspace id against the BROADCAST 128-row codebook, argmin as a
+    * partial-aggregatable min(struct(d2, code)) (map-side combine, no
+    * window; (d2, code) lexicographic min = the oracle's tie-break). */
+  private def pqCodes(sub: DataFrame, books: DataFrame, idCol: String): DataFrame =
+    sub.join(broadcast(books), "m")
+      .withColumn("_d2", VF.sqDistL(col("sv"), col("cv")))
+      .groupBy(col(idCol), col("m"))
+      .agg(min(struct(col("_d2"), col("code"))).as("b"))
+      .select(col(idCol), col("m"), col("b.code").as("code"))
 
   /** Connected components over the verified near-dup pair graph — the
     * clustering step a real dedup pipeline runs AFTER pair generation
@@ -887,6 +954,18 @@ object SparkEntry {
       // signatures (plane_sig), banded 4×8 bits, candidates = equi-join on
       // the band bucket, exact cosine verify on candidates only. The
       // all-pairs q_dedup_embed_cosine stays as the exactness twin.
+      //
+      // REGIME (measured, BENCH/TUNING.md round 4e): this shape is for
+      // TIGHT near-dup (τ→0.9), where banding is selective and per-pair
+      // cost is flat. On cluster-structured corpora with a LOOSE τ,
+      // cluster-mates agree on nearly every hyperplane bit, each cluster
+      // lands in one bucket per band, and candidates degenerate to
+      // within-cluster all-pairs — median-calibrated thresholds don't fix
+      // it (bits balanced but correlated) and a bucket df cap guts recall
+      // (767→4 true pairs at cap 256). The loose-τ scale path is
+      // q_semantic_dedup: bound the cluster population with a trained
+      // quantizer whose k grows with n, then pair within clusters only
+      // (measured flat at ×10 corpus where this query grew 38×).
       VF.register(s)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"), VF.l2NormF(col("embedding")).as("nrm"),
@@ -1314,6 +1393,61 @@ object SparkEntry {
     }),
 
     "q_knn_ivf" -> ((s, dir) => knnIvf(s, dir, nprobe = 2)),
+
+    "q_pq_encode" -> ((s, dir) => {
+      // PQ compression of the embedding column: 64 float dims → 8 4-bit
+      // codes (4 bytes/vector, 64× smaller than float32). The encode is an
+      // equi-join of the narrow (vec_id, m, sv) subvector rows against the
+      // BROADCAST 128-row codebook + one partial-agg'd argmin — no window,
+      // no shuffle wider than the groupBy on (vec_id, m).
+      VF.register(s)
+      val qz = ivfQuantized(t(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+      val books = pqTrainCodebooks(s, qz)
+      pqCodes(pqSubvectors(qz, "vec_id"), books, "vec_id")
+        .groupBy(col("vec_id"))
+        .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+          x => x.getField("code")).as("codes"))
+    }),
+
+    "q_knn_pq" -> ((s, dir) => {
+      // IVF-ADC (the FAISS IVF-PQ search, no-residual variant): the coarse
+      // quantizer prunes to nprobe=2 inverted lists, then ranking inside the
+      // lists runs ENTIRELY in the compressed domain — asymmetric distance
+      // Σ_m dtable[m][code_m(x)], an equi-join of candidates' codes against
+      // the query's BROADCAST 8×16 distance table. The raw embeddings never
+      // reach the search join: at 10^12 vectors the scanned side is the
+      // 4-byte/vector code table, which is the reason PQ exists. All-integer
+      // arithmetic (scaled-int subspace sqdists, summed) ⇒ hash-exact
+      // oracle. (The residual variant — encode x − centroid(x) — buys
+      // recall at the cost of per-list code dependence; raw-vector PQ keeps
+      // codes list-independent, the simpler standard layout.)
+      VF.register(s)
+      val qz = ivfQuantized(t(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+      val cents = ivfTrainCentroids(s, qz)
+      val books = pqTrainCodebooks(s, qz)
+      val assign = ivfNearestMap(qz.select(col("vec_id"), col("qv")), "vec_id", cents)
+      val codes = pqCodes(pqSubvectors(qz, "vec_id"), books, "vec_id")
+      val q = qz.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .select(col("vec_id").as("query_id"), col("qv"))
+      val wProbe = Window.partitionBy(col("query_id")).orderBy(col("_d2"), col("cent_id"))
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("_d2", VF.sqDistL(col("qv"), col("cv")))
+        .withColumn("_rk", row_number().over(wProbe)).filter(col("_rk") <= 2)
+        .select(col("query_id"), col("cent_id"))
+      val dtable = pqSubvectors(q, "query_id").join(broadcast(books), "m")
+        .select(col("query_id"), col("m"), col("code"),
+          VF.sqDistL(col("sv"), col("cv")).as("d2"))
+      val cand = probes.join(assign, "cent_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"))
+      val wTop = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+      cand.join(codes, "vec_id")
+        .join(broadcast(dtable), Seq("query_id", "m", "code"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("d2")).as("adist"))
+        .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 5)
+        .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("adist"))
+    }),
 
     "q_semantic_dedup" -> ((s, dir) => {
       // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
@@ -1815,8 +1949,46 @@ object SparkEntry {
     * distance, argmin with cent_id tie-break) is exact integer/IEEE-double
     * arithmetic identical to the Spark side, so the trained centroids are
     * bit-reproducible across engines. */
-  private def oD2(a: String, b: String): String =
-    s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 64), i -> ($a[i]-$b[i])*($a[i]-$b[i]))), (acc, x) -> acc + x)"
+  private def oD2(a: String, b: String): String = oD2n(a, b, 64)
+  private def oD2n(a: String, b: String, n: Int): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $n), i -> ($a[i]-$b[i])*($a[i]-$b[i]))), (acc, x) -> acc + x)"
+
+  /** Embedding-load + scaled-integer quantization CTEs (e, qz) — the shared
+    * oracle prefix of both the IVF family and the PQ family. */
+  private def oQzCtes: String =
+    s"""e AS (SELECT vec_id, embedding, ${oNorm("embedding")} AS nrm FROM embeddings),
+        qz AS (SELECT vec_id, embedding, nrm,
+          list_transform(generate_series(1, 64),
+            i -> CAST(floor(embedding[i]::DOUBLE * $IvfScale + 0.5) AS BIGINT)) AS qv FROM e)"""
+
+  /** PQ-family CTEs (assume `qz` in scope): subvector rows (sub), per-
+    * subspace unrolled Lloyd's codebooks (b0..b$PqIters), and the final
+    * code assignment (pqcodes) — the SQL twin of [[pqTrainCodebooks]]/
+    * [[pqSubvectors]]/[[pqCodes]]. All subspaces train in ONE set of CTEs
+    * with the subspace id `m` as a grouping column. */
+  private def oPqCtes: String = {
+    val iterCtes = (0 until PqIters).map { it =>
+      s"""pa$it AS (SELECT vec_id, m, sv, code FROM (
+            SELECT sub.vec_id, sub.m, sub.sv, b.code,
+              row_number() OVER (PARTITION BY sub.vec_id, sub.m
+                ORDER BY ${oD2n("sub.sv", "b.cv", PqSub)}, b.code) AS rk
+            FROM sub JOIN b$it b ON sub.m = b.m) WHERE rk = 1),
+          ps$it AS (SELECT m, code, i, CAST(floor(sum(v)::DOUBLE / count(*)) AS BIGINT) AS c
+            FROM (SELECT m, code, i, sv[i] AS v FROM pa$it, generate_series(1, $PqSub) gp$it(i))
+            GROUP BY m, code, i),
+          b${it + 1} AS (SELECT m, code, list(c ORDER BY i) AS cv FROM ps$it GROUP BY m, code)"""
+    }.mkString(",\n          ")
+    s"""sub AS (SELECT vec_id, m,
+          list_transform(generate_series(1, $PqSub), i -> qv[m*$PqSub+i]) AS sv
+          FROM qz, generate_series(0, ${PqM - 1}) gm(m)),
+        b0 AS (SELECT m, CAST(vec_id AS INT) AS code, sv AS cv FROM sub WHERE vec_id < $PqK),
+        $iterCtes,
+        pqcodes AS (SELECT vec_id, m, code FROM (
+          SELECT sub.vec_id, sub.m, b.code,
+            row_number() OVER (PARTITION BY sub.vec_id, sub.m
+              ORDER BY ${oD2n("sub.sv", "b.cv", PqSub)}, b.code) AS rk
+          FROM sub JOIN b$PqIters b ON sub.m = b.m) WHERE rk = 1)"""
+  }
 
   /** Shared WITH-clause prefix for the IVF-family oracles (q_knn_ivf,
     * q_semantic_dedup): quantization (qz), unrolled Lloyd's training
@@ -1834,10 +2006,7 @@ object SparkEntry {
             GROUP BY cent_id, i),
           c${it + 1} AS (SELECT cent_id, list(c ORDER BY i) AS cv FROM s$it GROUP BY cent_id)"""
     }.mkString(",\n          ")
-    s"""e AS (SELECT vec_id, embedding, ${oNorm("embedding")} AS nrm FROM embeddings),
-        qz AS (SELECT vec_id, embedding, nrm,
-          list_transform(generate_series(1, 64),
-            i -> CAST(floor(embedding[i]::DOUBLE * $IvfScale + 0.5) AS BIGINT)) AS qv FROM e),
+    s"""$oQzCtes,
         c0 AS (SELECT CAST(vec_id AS INT) AS cent_id, qv AS cv FROM qz WHERE vec_id < $IvfK),
         $iterCtes,
         assign AS (SELECT vec_id, embedding, nrm, cent_id FROM (
@@ -2452,6 +2621,37 @@ object SparkEntry {
             WHERE e.vec_id <> q.vec_id) WHERE rk <= 5""",
 
     "q_knn_ivf" -> oKnnIvf,
+
+    "q_pq_encode" ->
+      s"""WITH $oQzCtes, $oPqCtes
+          SELECT vec_id, list(code ORDER BY m) AS codes FROM pqcodes GROUP BY vec_id""",
+
+    "q_knn_pq" ->
+      s"""WITH $oIvfCtes, $oPqCtes,
+          q AS (SELECT vec_id AS query_id, qv FROM qz
+            WHERE vec_id >= 100 AND vec_id < 110),
+          qsub AS (SELECT query_id, m,
+            list_transform(generate_series(1, $PqSub), i -> qv[m*$PqSub+i]) AS sv
+            FROM q, generate_series(0, ${PqM - 1}) gq(m)),
+          dtable AS (SELECT query_id, qs.m, b.code,
+              ${oD2n("qs.sv", "b.cv", PqSub)} AS d2
+            FROM qsub qs JOIN b$PqIters b ON qs.m = b.m),
+          probes AS (SELECT query_id, cent_id FROM (
+            SELECT q.query_id, c.cent_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${oD2("q.qv", "c.cv")}, c.cent_id) AS rk
+            FROM q CROSS JOIN c$IvfIters c) WHERE rk <= 2),
+          cand AS (SELECT p.query_id, a.vec_id
+            FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+            WHERE a.vec_id <> p.query_id),
+          ad AS (SELECT c.query_id, c.vec_id, CAST(sum(d.d2) AS BIGINT) AS adist
+            FROM cand c JOIN pqcodes k ON c.vec_id = k.vec_id
+            JOIN dtable d ON d.query_id = c.query_id AND d.m = k.m AND d.code = k.code
+            GROUP BY 1, 2)
+          SELECT query_id, CAST(rk AS INT) AS rk, vec_id AS neighbor_id, adist FROM (
+            SELECT query_id, vec_id, adist,
+              row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rk
+            FROM ad) WHERE rk <= 5""",
 
     "q_semantic_dedup" ->
       // cluster-scoped cosine pairs over the SAME unrolled training +

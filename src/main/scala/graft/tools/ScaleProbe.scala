@@ -1,0 +1,140 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Operator-level corpus-scaling probe: does the dedup/quality family's
+  * PER-DOC cost stay flat when the corpus grows ×F? (The operator analog of
+  * the flagship's corpus-size-flatness evidence in BENCH/TUNING.md round 4c
+  * — a candidates-then-verify shape that is secretly quadratic shows up
+  * here as a ≫F wall-time ratio at ×F input.)
+  *
+  * The ×F corpus is DERIVED deterministically from a real sf dir (no new
+  * synthetic distribution): F copies with remapped ids, where
+  *  - EVERY copy's document text rewrites each word to
+  *    base36(murmur(word, copy)) — a bijective per-copy vocabulary map,
+  *    position-independent (two near-dup docs transform identically
+  *    regardless of insertions shifting alignment) and NON-LINEAR in the
+  *    word (murmur finalization), applied to copy 0 too so x1 and x<F> are
+  *    homogeneous corpora. Within-copy word/shingle/char-gram similarity
+  *    structure is preserved; cross-copy token sets are decorrelated — dup
+  *    GROUPS scale ×F in count, not in size. Newline-carrying tokens keep
+  *    their newlines (copy-tag suffix instead of a hash) so paragraph
+  *    structure survives. (10 exact copies would instead grow every dup
+  *    clique 10×, turning the pair output quadratic BY DATA and measuring
+  *    nothing about code. Three earlier cuts failed subtler versions of
+  *    the same trap: position-keyed tagging made near-dups with insertions
+  *    perturb differently, sagging within-copy pairs; tagging only a
+  *    vocabulary-hashed THIRD of words let tiny-vocabulary repetitive docs
+  *    escape perturbation entirely — (2/3)^|vocab| — exploding their
+  *    cross-copy cliques ×F²; and a per-copy SUFFIX tag on every word is
+  *    AFFINE under polynomial string hashing — H(w+t) = H(w)·B^|t| + H(t)
+  *    — leaving every copy's simhash bit-votes an affine image of the
+  *    base's, so cross-copy hamming pairs survived banding 26×.)
+  *  - copy k's embeddings multiply by a per-copy Rademacher ±1 pattern
+  *    (java.util.Random(k) — a mixer whose low bits barely depended on k
+  *    was the first cut's bug: near-identical patterns re-merged the dup
+  *    groups across copies), preserving within-copy geometry exactly
+  *    (same flips on both sides of every dot) while cross-copy cosine is a
+  *    sign-scrambled sum concentrating near 0 (measured p95 ≈ 0.2 < τ).
+  *    A per-copy dimension ROTATION does NOT decorrelate this corpus
+  *    (near-symmetric clusters); tau-pairs exploded 104× under it.
+  *
+  * Usage: ScaleProbe <baseSfDir> <outBase> <factor> [q ...]
+  * Materializes <outBase>/x1 and <outBase>/x<factor> (documents.parquet +
+  * embeddings.parquet), times each query twice per dir (run0 cold /
+  * run1 warm) and prints one JSON line per measurement. x1 is the DERIVED
+  * 1× dir (same write path/layout as x<F>), so the comparison is apples to
+  * apples. Results: BENCH/TUNING.md round 4d.
+  */
+object ScaleProbe {
+
+  private def scaledDocs(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    (0 until factor).map { k =>
+      val text = concat_ws(" ", transform(split(col("text"), " "), w =>
+        when(instr(w, "\n") > 0, concat(w, lit(s"~$k")))
+          .otherwise(conv(abs(hash(w, lit(k))).cast("string"), 10, 36))))
+      base.select(
+        (col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"))
+    }.reduce(_ unionByName _)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  private def scaledEmbeddings(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
+    val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val dims = 64
+    (0 until factor).map { k =>
+      // deterministic, well-mixed ±1 per (copy, dim): java.util.Random's
+      // LCG is spec-fixed, so the probe corpus is rerunnable bit-for-bit
+      val rnd = new java.util.Random(k * 1000003L + 7)
+      val signs = Array.fill(dims)(if (rnd.nextBoolean()) 1f else -1f)
+      val emb = zip_with(col("embedding"),
+        array(signs.map(lit(_)): _*),
+        (x, s) => x * s)
+      base.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+        emb.as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def materialize(spark: SparkSession, baseDir: String, out: String, factor: Int): Unit = {
+    if (Files.exists(Paths.get(out, "documents.parquet", "_SUCCESS"))) return
+    scaledDocs(spark, baseDir, factor).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    scaledEmbeddings(spark, baseDir, factor).repartition(8)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  // order matters: q_simhash_pairs before q_dedup_components so the shared
+  // edge-pipeline codegen is warm when the fixpoint runs (mirrors the bench)
+  private val DefaultQueries = Seq(
+    "q_text_stats", "q_repetition_quality", "q_unigram_lm", "q_tfidf_topterms",
+    "q_winnow_fp", "q_paragraph_dedup", "q_dedup_exact", "q_fingerprint",
+    "q_minhash_sig", "q_dedup_minhash_pairs", "q_simhash", "q_simhash_pairs",
+    "q_dedup_jaccard", "q_dedup_components", "q_decontaminate",
+    "q_dedup_embed_lsh", "q_semantic_dedup", "q_knn_ivf")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outBase = args.lift(1).getOrElse("/tmp/graft_scaleprobe")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val queries = if (args.length > 3) args.drop(3).toSeq else DefaultQueries
+
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", "128")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dirs = Seq(1, factor).map { f =>
+      val d = s"$outBase/x$f"
+      materialize(spark, baseDir, d, f)
+      f -> d
+    }
+    // untimed warmup on the 1× dir: codegen + JIT land here, not in x1's
+    // timed run0 (a serial probe otherwise charges ALL session cold costs
+    // to the first dir and the ratio lies). The componentMap consumers are
+    // EXCLUDED — their first timed run must still pay the real fixpoint
+    // (memoization is per (session, dir); a warmed-up fixpoint would time
+    // the cache, not the operator).
+    val memoized = Set("q_dedup_components", "q_dedup_survivor", "q_split_leakfree")
+    queries.filterNot(memoized).foreach(n =>
+      graft.SparkEntry.queries(n)(spark, dirs.head._2).count())
+    def fmt(d: Double) = "%.3f".formatLocal(java.util.Locale.US, d)
+    for ((f, d) <- dirs; name <- queries) {
+      val times = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(name)(spark, d).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(s"""{"query":"$name","factor":$f,"rows":${times.last._2},""" +
+        s""""run0":${fmt(times.head._1)},"run1":${fmt(times.last._1)}}""")
+    }
+    spark.stop()
+  }
+}

@@ -99,6 +99,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("PQ search runs in the compressed domain: codebook/distance-table " +
+    "joins broadcast, encode argmin partial-aggregated, no all-pairs join") {
+    val p = planOf("q_knn_pq")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join is query × broadcast 16-centroid probe
+    // selection; codes join dtable/codebook via BroadcastHashJoin and the
+    // candidate restriction is an equi-join on cent_id
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the per-(vector, subspace) nearest-code argmin is a map-side-combined
+    // min(struct), never a window over the corpus
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    val pe = planOf("q_pq_encode")
+    assert(!pe.contains("CartesianProduct"), pe)
+    assert(pe.contains("partial_min"), pe)
+  }
+
   test("semantic dedup: cluster-scoped pairs only — no all-pairs join, no UDFs") {
     val p = planOf("q_semantic_dedup")
     assert(!p.contains("CartesianProduct"), p)
