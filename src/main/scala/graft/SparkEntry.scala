@@ -1180,6 +1180,38 @@ object SparkEntry {
         .agg(sum(col("pn")).as("n_docs"), sum(col("pc")).as("sum_chars"))
     }),
 
+    "q_skew_join" -> ((s, dir) => {
+      // SALTED N:1 join — the join-side twin of q_salted_agg, for the case
+      // where the dimension is too big to broadcast AND the fact side's
+      // join key is a heavy hitter (here: corpus-level per-lang stats
+      // enriched back onto every document; 5 lang values over the whole
+      // corpus is maximal key skew). Fact rows take a deterministic salt
+      // in [0, S); the dim side replicates each row S times; the join runs
+      // on (key, salt), spreading a hot key's fact rows over S reducers at
+      // the cost of an S× dim replication (dim × S ≪ fact). The result is
+      // EXACTLY the plain join — salt never reaches the output and the
+      // oracle is the unsalted SQL. The `merge` hint pins a sort-merge
+      // plan: at demo scale Spark would broadcast this dim and hide the
+      // pattern under test (AQE's OptimizeSkewedJoin covers SMJ skew at
+      // runtime by splitting oversized partitions; explicit salting is the
+      // portable form — it also works for shuffle-hash joins, streaming
+      // joins, and engines/paths AQE doesn't reach).
+      TextFingerprint.register(s)
+      val S = 8
+      val docs = t(s, dir, "documents")
+      val dim = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_lang_docs"), sum(col("n_chars")).as("lang_chars"))
+      val dimSalted = dim.withColumn("salt",
+        explode(sequence(lit(0L), lit(S - 1L))))
+      val factSalted = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("salt", pmod(call_function("text_fingerprint",
+          col("doc_id").cast("string")), lit(S.toLong)))
+      factSalted.hint("merge")
+        .join(dimSalted, Seq("lang", "salt"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("n_lang_docs"), col("lang_chars"))
+    }),
+
     "q_grouping_sets" -> ((s, dir) => {
       // Explicit GROUPING SETS (the non-hierarchical cousin of
       // rollup/cube): two disjoint group-bys in ONE Expand+Aggregate pass
@@ -2513,6 +2545,15 @@ object SparkEntry {
       // computes the identical result
       """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
          FROM documents GROUP BY lang""",
+
+    "q_skew_join" ->
+      // the UNSALTED plain join — the salt is pure execution strategy and
+      // must never change the result
+      """WITH dim AS (SELECT lang, count(*) AS n_lang_docs,
+              sum(n_chars)::BIGINT AS lang_chars
+            FROM documents GROUP BY lang)
+         SELECT doc_id, d.lang, n_chars, n_lang_docs, lang_chars
+         FROM documents d JOIN dim USING (lang)""",
 
     "q_decontaminate" ->
       s"""WITH s AS (SELECT doc_id, $oShingles AS sh

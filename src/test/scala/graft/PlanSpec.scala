@@ -99,6 +99,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("salted skew join: sort-merge on (key, salt) — the hot key spreads over " +
+    "S reducers and the salt never reaches the output") {
+    val p = planOf("q_skew_join")
+    assert(p.contains("SortMergeJoin"), p)
+    // the join keys must carry the salt (a plain lang-only SMJ would funnel
+    // each hot lang into one reducer)
+    assert(p.contains("salt"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("PQ search runs in the compressed domain: codebook/distance-table " +
     "joins broadcast, encode argmin partial-aggregated, no all-pairs join") {
     val p = planOf("q_knn_pq")
