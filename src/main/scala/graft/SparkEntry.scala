@@ -134,8 +134,19 @@ object SparkEntry {
       .select(col("vec_id"), col("embedding"), VF.l2NormF(col("embedding")).as("nrm"))
     val qz = ivfQuantized(e)
     val cents = ivfTrainCentroids(s, qz)
-    val assign = qz.join(
-      broadcast(ivfNearestMap(qz.select(col("vec_id"), col("qv")), "vec_id", cents)), "vec_id")
+    // assignment WITHOUT a corpus-sized broadcast (same pattern as
+    // q_semantic_dedup): the argmin over the 16 broadcast centroids carries
+    // embedding+nrm through ONE partial-aggregatable min(struct) —
+    // (d2, cent_id) is unique per group so the trailing fields never
+    // participate in the comparison. The previous shape joined qz back to a
+    // broadcast (vec_id → cent_id) map, which is corpus-sized and would
+    // OOM the driver at 10^9 vectors.
+    val assign = qz.crossJoin(broadcast(cents))
+      .withColumn("_d2", VF.sqDistL(col("qv"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("_d2"), col("cent_id"), col("embedding"), col("nrm"))).as("m"))
+      .select(col("vec_id"), col("m.cent_id").as("cent_id"),
+        col("m.embedding").as("embedding"), col("m.nrm").as("nrm"))
     val q = qz.filter(col("vec_id") >= 100 && col("vec_id") < 110)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qnrm"), col("qv"))
