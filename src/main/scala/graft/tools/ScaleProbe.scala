@@ -94,7 +94,8 @@ object ScaleProbe {
     "q_winnow_fp", "q_paragraph_dedup", "q_dedup_exact", "q_fingerprint",
     "q_minhash_sig", "q_dedup_minhash_pairs", "q_simhash", "q_simhash_pairs",
     "q_dedup_jaccard", "q_dedup_components", "q_decontaminate",
-    "q_dedup_embed_lsh", "q_semantic_dedup", "q_knn_ivf")
+    "q_dedup_embed_lsh", "q_semantic_dedup", "q_knn_ivf",
+    "q_pq_encode", "q_knn_pq", "q_skew_join")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
