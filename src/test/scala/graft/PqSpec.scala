@@ -32,33 +32,41 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(perSub.values.forall(_ > 1), s"degenerate codebook: $perSub")
   }
 
-  test("IVF-ADC recall@5 vs exact integer-L2 ground truth beats the random baseline") {
+  test("IVF-ADC+refine recall@5 vs exact cosine reaches the 2-probe candidate cap") {
     val pq = SparkEntry.queries("q_knn_pq")(spark, sf)
       .select(col("query_id"), col("neighbor_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pq.size == 50, s"expected 10 queries x 5 neighbors, got ${pq.size}")
 
-    // exact ground truth under the metric ADC approximates: squared L2 on
-    // the scaled-integer vectors, same (d2 asc, vec_id) tie order
+    // exact cosine ground truth for the same query set (the metric the
+    // refine stage ranks by — comparable to q_knn_ivf's recall)
     VF.register(spark)
-    val qz = spark.read.parquet(s"$sf/embeddings.parquet")
-      .select(col("vec_id"),
-        transform(col("embedding"), x => floor(x.cast("double") * 1000000.0 + lit(0.5))).as("qv"))
-    val q = qz.filter(col("vec_id") >= 100 && col("vec_id") < 110)
-      .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("vec_id"))
-    val exact = qz.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("query_id"))
-      .withColumn("d2", VF.sqDistL(col("qv"), col("qqv")))
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), VF.l2NormF(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", VF.dotF(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
       .select(col("query_id"), col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    // two approximations stack: the 2-of-16-list coarse prune (~12.5% of
-    // the corpus scanned; random lists => recall ~0.125) and the 4-bit
-    // code quantization on top. The floor is pinned above the random
-    // baseline and below the measured value.
+    // without the refine stage, raw 4-bit ADC ranking measured 0.2 here;
+    // the exact re-rank of the ADC top-20 recovers the 2-probe candidate
+    // cap (q_knn_ivf measures 0.42 on this corpus). Floor pinned between.
     val recall = (pq & exact).size.toDouble / exact.size
-    info(f"IVF-ADC recall@5 = $recall%.3f (random-probe baseline ~= 0.125)")
-    assert(recall >= 0.2, f"recall $recall%.3f under floor 0.2")
+    info(f"IVF-ADC+refine recall@5 = $recall%.3f (raw ADC measured 0.2, IVF cap 0.42)")
+    assert(recall >= 0.3, f"recall $recall%.3f under floor 0.3")
+
+    // and the refined PQ search must agree with q_knn_ivf on most results:
+    // same candidate lists, exact metric on top — differences can come only
+    // from true top-in-list neighbors the 20-deep ADC shortlist missed
+    val ivf = SparkEntry.queries("q_knn_ivf")(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val agree = (pq & ivf).size.toDouble / ivf.size
+    info(f"agreement with q_knn_ivf = $agree%.3f")
+    assert(agree >= 0.8, f"agreement $agree%.3f under floor 0.8")
   }
 }
