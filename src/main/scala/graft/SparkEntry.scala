@@ -786,6 +786,29 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("price"))
     }),
 
+    "q_topk_agg" -> ((s, dir) => {
+      // Bounded top-k per group WITHOUT a window (functions/TopKAgg): the
+      // window form above funnels every row of a hot group through one
+      // reducer's sort; this typed Aggregator prunes its buffer to k on
+      // every reduce/merge, so a group ships ≤ k rows per map task and
+      // reducer state is O(k) — the shape that survives a billion-row
+      // group. Same total order (quality DESC, doc_id ASC) as the window
+      // twin; the oracle IS the window SQL. Quality is the shared
+      // q_text_stats formula — bit-identical across engines, so the order
+      // (and hence the ids) match exactly.
+      val topk = udaf(new graft.functions.TopKAgg(3), graft.functions.TopKAgg.scoredEncoder)
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          round(TF.qualityScore(col("text")), 4).as("quality"))
+        .groupBy(col("lang"))
+        .agg(topk(col("doc_id"), col("quality")).as("top_docs"))
+        // Explode to rows so the cross-engine hash oracle can compare; the
+        // position IS the rank (the aggregator's finish() order is the
+        // total order above).
+        .select(col("lang"), posexplode(col("top_docs")).as(Seq("rank", "doc_id")))
+        .withColumn("rank", col("rank").cast("int"))
+    }),
+
     // -------------------------------------------------- dedup family
     "q_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2350,6 +2373,17 @@ object SparkEntry {
              row_number() OVER (PARTITION BY o_orderpriority
                ORDER BY o_totalprice DESC, o_orderkey) AS rk
            FROM orders) WHERE rk <= 3""",
+
+    // Oracle for the typed-Aggregator top-k is the WINDOW form — the
+    // aggregator's contract is "exactly the window prefix" (TopKAgg.scala).
+    "q_topk_agg" ->
+      s"""SELECT lang, CAST(rn - 1 AS INT) AS rank, doc_id FROM (
+            SELECT lang, doc_id,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY $oQualityExpr DESC, doc_id) AS rn
+            FROM (SELECT lang, doc_id, text,
+                    string_split_regex(trim(text), ' +') AS w FROM documents))
+          WHERE rn <= 3""",
 
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY 1",

@@ -347,6 +347,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("top-k aggregator: NO window — the typed Aggregator map-side-combines " +
+    "(a hot group ships <= k rows per map task; a window would funnel every " +
+    "row of the group through one reducer's sort)") {
+    val df = SparkEntry.queries("q_topk_agg")(spark, sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    // typed Aggregator runs as ObjectHashAggregate with a partial mode
+    // before the exchange — the map-side combine that bounds shuffle rows
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.toLowerCase.contains("partial_topkagg"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("mixture rebalancing: computed rate table joins back as a BROADCAST " +
     "— the corpus never shuffles for its accept decision") {
     val p = planOf("q_mix_rebalance")
