@@ -1697,6 +1697,83 @@ object SparkEntry {
           round(col("bits_total").cast("double") / col("n_tokens"), 4))
     }),
 
+    "q_quality_classifier" -> ((s, dir) => {
+      // fastText-style hashed linear classifier INFERENCE (Joulin et al.
+      // 2016, "Bag of Tricks for Efficient Text Classification") — the
+      // standard web-corpus quality gate shape (CCNet / DCLM run a
+      // fastText model over every document and keep by label). The
+      // hashing trick bounds the MODEL at 4096 rows regardless of corpus
+      // vocabulary: feature id = portable fingerprint of the token mod
+      // 4096; the weight table here is generated deterministically as a
+      // stand-in for trained parameters (at scale the real model is a
+      // few-MB binary — still broadcast-sized BY CONSTRUCTION, which is
+      // the whole point of feature hashing). Plan shape: corpus tokenizes
+      // and hashes NARROWLY, the model attaches as a BroadcastHashJoin
+      // (never shuffles the corpus for the lookup), and the per-doc logit
+      // is one map-side-combinable aggregate — exactly one corpus
+      // exchange, on doc_id. Integer weights in [-8, 8] keep the logit
+      // hash-exact cross-engine (no float dot product).
+      TextFingerprint.register(s)
+      val model = s.range(0, 4096).select(
+        col("id").as("fid"),
+        (pmod(call_function("text_fingerprint",
+          concat(lit("w#"), col("id").cast("string"))), lit(17L)) - 8L).as("wt"))
+      fanOut(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          pmod(call_function("text_fingerprint", col("tok")), lit(4096L)).as("fid"))
+        .join(broadcast(model), Seq("fid"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("logit"))
+        .withColumn("label", when(col("logit") > 0, "keep").otherwise("drop"))
+    }),
+
+    "q_ccnet_bucket" -> ((s, dir) => {
+      // CCNet-style per-LANGUAGE perplexity bucketing (Wenzek et al. 2020):
+      // documents fall into head/middle/tail by the tercile of their LM
+      // score WITHIN their language — the standard corpus-quality
+      // stratification before sampling. Score = the q_unigram_lm integer
+      // surprisal, reduced to milli-bits-per-token (integer division —
+      // hash-exact cross-engine). The scale discipline is in the
+      // bucketing: terciles are NOT a window over the corpus (a per-lang
+      // single-reducer funnel at 10^12 rows) — instead (1) aggregate the
+      // corpus to a (lang, score) HISTOGRAM (map-side partials; its size
+      // is bounded by score granularity, not corpus size), (2) run the
+      // cumulative count + tercile cut over that small table (window
+      // partitioned by lang over thousands of rows, not billions),
+      // (3) broadcast the cut table back onto the corpus. Ties share a
+      // score value, hence a bucket — deterministic by construction.
+      val docs = fanOut(t(s, dir, "documents"))
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(TF.tokens(col("text"))).as("w"))
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val topv = vocab.orderBy(col("c").desc, col("w")).limit(1024)
+      val total = docs
+        .agg(sum(size(TF.tokens(col("text")))).cast("long").as("n_total"))
+      val scored = toks
+        .join(broadcast(topv), Seq("w"), "left")
+        .crossJoin(broadcast(total))
+        .withColumn("cc", coalesce(col("c"), lit(1L)))
+        .withColumn("bits", length(bin(expr("n_total div cc"))) - 1)
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("bits")).cast("long").as("bits_total"))
+        .select(col("doc_id"), col("lang"),
+          expr("bits_total * 1000 div n_tokens").as("bpt_milli"))
+      val hist = scored.groupBy(col("lang"), col("bpt_milli"))
+        .agg(count(lit(1)).as("cnt"))
+      val byLang = Window.partitionBy(col("lang"))
+      val cuts = hist
+        .withColumn("cum", sum(col("cnt")).over(byLang.orderBy(col("bpt_milli"))))
+        .withColumn("n", sum(col("cnt")).over(byLang))
+        .select(col("lang"), col("bpt_milli"),
+          when(col("cum") * 3 <= col("n"), "head")
+            .when(col("cum") * 3 <= col("n") * 2, "middle")
+            .otherwise("tail").as("bucket"))
+      scored.join(broadcast(cuts), Seq("lang", "bpt_milli"))
+        .select(col("doc_id"), col("lang"), col("bpt_milli"), col("bucket"))
+    }),
+
     "q_pii_scrub" -> ((s, dir) => {
       // PII SCRUBBING — detect + redact email/phone patterns, count per
       // class (the pre-training hygiene pass). The synthetic corpus has no
@@ -2855,6 +2932,47 @@ object SparkEntry {
            sum(length(bin(n_total // cc)) - 1)::BIGINT AS bits_total,
            round(sum(length(bin(n_total // cc)) - 1)::DOUBLE / count(*), 4) AS bits_per_token
          FROM scored CROSS JOIN tot GROUP BY doc_id""",
+
+    "q_quality_classifier" -> {
+      // NB: the outer column must NOT be named `i` — oFpBody's
+      // list_transform lambda binds `i`, which would shadow it.
+      val wfp = oFpBody.format("('w#' || fi::VARCHAR)", "('w#' || fi::VARCHAR)")
+      s"""WITH model AS (SELECT fi AS fid, (($wfp % 17) - 8)::BIGINT AS wt
+           FROM (SELECT unnest(generate_series(0, 4095))::BIGINT AS fi)),
+         toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+           FROM documents),
+         feats AS (SELECT doc_id, ${oFp("tok")} % 4096 AS fid FROM toks)
+         SELECT doc_id, count(*) AS n_tokens, sum(wt)::BIGINT AS logit,
+           CASE WHEN sum(wt) > 0 THEN 'keep' ELSE 'drop' END AS label
+         FROM feats JOIN model USING (fid) GROUP BY doc_id"""
+    },
+
+    "q_ccnet_bucket" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split_regex(trim(text), ' +')) AS w
+           FROM documents),
+         vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+         topv AS (SELECT w, c FROM (
+             SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM vocab)
+           WHERE rk <= 1024),
+         tot AS (SELECT sum(c)::BIGINT AS n_total FROM vocab),
+         docs AS (SELECT doc_id, lang, count(*)::BIGINT AS n_tokens,
+             sum(length(bin(n_total // coalesce(v.c, 1)::BIGINT)) - 1)::BIGINT AS bits_total
+           FROM toks t LEFT JOIN topv v ON t.w = v.w CROSS JOIN tot
+           GROUP BY doc_id, lang),
+         d2 AS (SELECT doc_id, lang, (bits_total * 1000 // n_tokens)::BIGINT AS bpt_milli
+           FROM docs),
+         hist AS (SELECT lang, bpt_milli, count(*)::BIGINT AS cnt
+           FROM d2 GROUP BY lang, bpt_milli),
+         cum AS (SELECT lang, bpt_milli,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY bpt_milli)::BIGINT AS cum,
+             sum(cnt) OVER (PARTITION BY lang)::BIGINT AS n
+           FROM hist),
+         cuts AS (SELECT lang, bpt_milli,
+             CASE WHEN cum * 3 <= n THEN 'head'
+                  WHEN cum * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket
+           FROM cum)
+         SELECT d.doc_id, d.lang, d.bpt_milli, c.bucket
+         FROM d2 d JOIN cuts c USING (lang, bpt_milli)""",
 
     "q_pii_scrub" ->
       """WITH d AS (SELECT doc_id,

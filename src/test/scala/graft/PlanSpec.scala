@@ -258,6 +258,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("hashed linear classifier: the fixed-4096-row model attaches as a " +
+    "BroadcastHashJoin and the per-doc logit has map-side partials — the " +
+    "corpus never shuffles for the model lookup") {
+    val p = planOf("q_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("ccnet bucketing: tercile cuts are computed on the (lang, score) " +
+    "HISTOGRAM (the per-lang window consumes aggregated cnt rows, not raw " +
+    "docs) and broadcast back — no corpus-sized per-lang window funnel") {
+    val p = planOf("q_ccnet_bucket")
+    // the only Window nodes take the aggregated histogram column `cnt`
+    assert(p.contains("Window"), p)
+    assert("sum\\(cnt".r.findFirstIn(p).nonEmpty, p)
+    // corpus re-attaches to the cut table via broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("PII scrub is a narrow per-row map — zero exchanges") {
     val p = planOf("q_pii_scrub")
     assert(!p.contains("Exchange"), p)
