@@ -83,4 +83,61 @@ class MaterializedAggSpec extends AnyFunSuite with SparkTestBase {
     assert(!Files.exists(Paths.get(s"$dir/view/agg-v99")))
     assert(Files.exists(Paths.get(s"$dir/view/agg-v$snapAfterCompact")))
   }
+
+  test("hll distinct-conversation registers: the incrementally-merged sketch " +
+    "is bit-identical to a from-scratch sketch of the union, and the decoded " +
+    "estimate tracks the exact per-group distinct count") {
+    import testImplicits._
+    val dir = Files.createTempDirectory("snapagghll").toString
+    val table = new SnapshotTable(dir, numBuckets = 8)
+    val ma = new MaterializedAgg(table, s"$dir/view")
+    val turns = TranscriptGen.dataset(spark, seed, nConvs, hotBase, partitions = 4)
+
+    // two appends with a refresh between them → the second refresh takes
+    // the MERGE path (register-wise max of stored state vs delta sketch)
+    val batch1 = turns.withColumn("bucket", table.bucketOf)
+      .where(col("bucket") < 4).drop("bucket").as[graft.model.Turn]
+    ExtractJob.runIncremental(spark, table, batch1, runId = "runA")
+    ma.refresh(spark)
+    ExtractJob.runIncremental(spark, table, turns, runId = "runB")
+    ma.refresh(spark)
+
+    // independent from-scratch register twin, built in the spec (never via
+    // MaterializedAgg) over the FULL table — if the merge lost or doubled
+    // any register this differs
+    import graft.functions.{TextFingerprint, TextFunctions => TF}
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val h = TF.universalHash(TextFingerprint(col("conv_id")), 0)
+    val scratch = table.read(spark)
+      .withColumn("_h", h)
+      .withColumn("reg", col("_h").bitwiseAND(lit(63L)).cast("int"))
+      .withColumn("wb", shiftright(col("_h"), 6))
+      .withColumn("rho", when(col("wb") === 0, lit(24))
+        .otherwise((log2(col("wb").bitwiseAND(-col("wb"))) + 1).cast("int")))
+      .groupBy(col("tool"), col("role"), col("reg")).agg(max(col("rho")).as("mreg"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getInt(2) -> r.getInt(3)))
+      .groupBy(_._1).map { case (k, vs) =>
+        val regs = Array.fill(64)(0)
+        vs.foreach { case (_, (i, v)) => regs(i) = v }
+        k -> regs.toSeq
+      }
+    val merged = ma.read(spark).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getSeq[Int](5))).toMap
+    assert(merged.keySet == scratch.keySet)
+    merged.foreach { case (k, regs) => assert(regs == scratch(k), s"group $k") }
+
+    // decoded estimate vs exact distinct conversations per group: m = 64
+    // gives σ ≈ 13%, and these groups sit in the accurate linear-counting
+    // range — a generous ±40% bound pins gross construction errors without
+    // flaking on sketch variance
+    val exact = table.read(spark).groupBy(col("tool"), col("role"))
+      .agg(countDistinct(col("conv_id")).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val est = ma.readWithEstimate(spark).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(6))).toMap
+    exact.foreach { case (k, n) =>
+      val e = est(k)
+      assert(e >= n * 0.6 && e <= n * 1.4, s"group $k: est $e vs exact $n")
+    }
+  }
 }
