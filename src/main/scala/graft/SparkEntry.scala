@@ -1663,6 +1663,63 @@ object SparkEntry {
         .filter(col("ndocs") >= 2)
     }),
 
+    "q_substring_scrub" -> ((s, dir) => {
+      // EXACT-substring dedup — the REMOVAL half (Lee et al. 2022 cut
+      // duplicated ≥ 50-token substrings out of the corpus, keeping one
+      // occurrence; q_winnow_common_spans is the detection half). Every
+      // winnowing fingerprint seen in ≥ 2 distinct documents witnesses a
+      // K-char exact duplicate; the FIRST document (min doc_id) keeps all
+      // its occurrences, every other document cuts the K-char window at
+      // each witnessed position, overlapping windows merged. Scale shape:
+      // fingerprints are a narrow native-expression explode; the dup
+      // dictionary is one equi-shuffle on fp (it scales with boilerplate
+      // volume — NOT broadcast); cut positions regroup per doc (bounded by
+      // doc length); the rewrite is a per-row fold over the sorted cut
+      // list — no window function, no second pass over text. Cross-engine
+      // exact: the oracle re-derives removal per-character (union of cut
+      // intervals), a different derivation of the same set.
+      WinnowF.register(s)
+      val posMask = (1L << 31) - 1
+      val K = graft.functions.WinnowF.K.toLong
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val fps = fanOut(docs)
+        .select(col("doc_id"),
+          explode(call_function("winnow_fp", col("text"))).as("key"))
+        .select(col("doc_id"),
+          (lit(posMask) - col("key").bitwiseAND(lit(posMask))).as("pos"),
+          shiftright(col("key"), 31).as("fp"))
+      val common = fps.groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("ndocs") >= 2)
+      val cuts = fps.join(common, Seq("fp"))
+        .filter(col("doc_id") =!= col("first_doc"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      val folded = docs.join(cuts, Seq("doc_id"), "left")
+        .withColumn("ps", coalesce(col("positions"), typedLit(Seq.empty[Long])))
+        .withColumn("cleaned_text",
+          org.apache.spark.sql.functions.aggregate(col("ps"),
+            struct(lit("").as("out"), lit(1L).as("cur")),
+            (acc, p) => struct(
+              when(p > acc.getField("cur"),
+                concat(acc.getField("out"), col("text").substr(
+                  acc.getField("cur").cast("int"),
+                  (p - acc.getField("cur")).cast("int"))))
+                .otherwise(acc.getField("out")).as("out"),
+              greatest(acc.getField("cur"), p + lit(K)).as("cur")),
+            acc => concat(acc.getField("out"), col("text").substr(
+              acc.getField("cur").cast("int"),
+              greatest(length(col("text")) - acc.getField("cur").cast("int") + 1,
+                lit(0))))))
+      folded.select(col("doc_id"),
+        length(col("text")).cast("long").as("orig_len"),
+        size(col("ps")).cast("long").as("n_cut_fps"),
+        col("cleaned_text"),
+        (length(col("text")) - length(col("cleaned_text"))).cast("long")
+          .as("n_removed"))
+    }),
+
     "q_unigram_lm" -> ((s, dir) => {
       // Unigram language-model SURPRISAL scoring — the cheap LM-quality
       // signal (CCNet-style perplexity filtering reduced to its unigram
@@ -2916,6 +2973,30 @@ object SparkEntry {
       """SELECT fp, count(DISTINCT doc_id) AS ndocs, count(*) AS nocc,
             min(doc_id) AS first_doc
           FROM chosen GROUP BY fp HAVING count(DISTINCT doc_id) >= 2"""),
+
+    "q_substring_scrub" -> (oWinnowChosen + {
+      val k = graft.functions.WinnowF.K
+      s""", common AS (SELECT fp, min(doc_id) AS first_doc FROM chosen
+            GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+          cutpos AS (SELECT c.doc_id, c.pos FROM chosen c JOIN common m USING (fp)
+            WHERE c.doc_id <> m.first_doc),
+          chars AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text
+            FROM documents),
+          kept AS (SELECT c.doc_id,
+              coalesce(string_agg(substr(c.text, c.i, 1), '' ORDER BY c.i), '') AS ct
+            FROM chars c
+            WHERE NOT EXISTS (SELECT 1 FROM cutpos p
+              WHERE p.doc_id = c.doc_id AND p.pos <= c.i AND c.i < p.pos + $k)
+            GROUP BY c.doc_id),
+          ncut AS (SELECT doc_id, count(*)::BIGINT AS n FROM cutpos GROUP BY doc_id)
+          SELECT d.doc_id, length(d.text)::BIGINT AS orig_len,
+            coalesce(n.n, 0)::BIGINT AS n_cut_fps,
+            coalesce(k2.ct, '') AS cleaned_text,
+            (length(d.text) - length(coalesce(k2.ct, '')))::BIGINT AS n_removed
+          FROM documents d
+          LEFT JOIN ncut n USING (doc_id)
+          LEFT JOIN kept k2 ON k2.doc_id = d.doc_id"""
+    }),
 
     "q_unigram_lm" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS w

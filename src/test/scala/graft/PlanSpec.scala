@@ -258,6 +258,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("substring scrub: fingerprint/dictionary work is all equi-joins " +
+    "(no nested loop; at sf the dup dictionary may legitimately broadcast " +
+    "— AQE re-picks a shuffle join at scale) and the rewrite fold is " +
+    "windowless (per-row aggregate over the sorted cut list)") {
+    val p = planOf("q_substring_scrub")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("hashed linear classifier: the fixed-4096-row model attaches as a " +
     "BroadcastHashJoin and the per-doc logit has map-side partials — the " +
     "corpus never shuffles for the model lookup") {
