@@ -65,7 +65,8 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
 
   private def entryJson(snapId: Long, parentId: Long, e: BucketEntry): String =
-    s"""{"snapshotId":$snapId,"parentId":$parentId,"bucket":${e.bucket},""" +
+    s"""{"snapshotId":$snapId,"parentId":$parentId,"buckets":$numBuckets,""" +
+      s""""bucket":${e.bucket},""" +
       s""""path":"${esc(e.path)}","runId":"${esc(e.runId)}","turns":${e.turns},""" +
       s""""blocksKept":${e.blocksKept},"blocksDropped":${e.blocksDropped},""" +
       s""""charsEmitted":${e.charsEmitted},"minTs":"${esc(e.minTs)}","maxTs":"${esc(e.maxTs)}",""" +
@@ -328,6 +329,34 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     replaceWhere(spark, convIds, spark.emptyDataset[ExtractedTurn], runId)
   }
 
+  /** Bucket-layout EVOLUTION (the Iceberg partition-spec-evolution analog):
+    * rewrite the live snapshot at a new bucket count — the operation a
+    * growing table needs when the count chosen at day one stops matching
+    * the data (buckets too fat for a task, or so many that point reads
+    * touch dust-sized files). One full rewrite through the existing commit
+    * machinery, so it inherits crash safety (data → manifest → CURRENT; a
+    * crash leaves the OLD layout live) and time travel (older snapshots
+    * keep their old-layout file sets and remain readable via [[readAt]]).
+    *
+    * `forceReplace` covers the shrink case: old-layout bucket ids ≥ the
+    * new count would otherwise survive the entry merge as stale manifest
+    * lines pointing at superseded data.
+    *
+    * Returns the handle for the NEW layout — the receiver keeps hashing
+    * point reads with the old count and must not be used afterwards
+    * ([[SnapshotTable.open]] recovers the live layout from the manifest,
+    * so readers never need to know a rebucket happened). */
+  def rebucket(spark: SparkSession, newNumBuckets: Int, runId: String): SnapshotTable = {
+    import spark.implicits._
+    require(newNumBuckets > 0, s"bucket count must be positive: $newNumBuckets")
+    val target = new SnapshotTable(dir, newNumBuckets)
+    val old = committedBuckets(spark)
+    target.commit(spark, read(spark).as[graft.model.ExtractedTurn], runId,
+      replaceBuckets = true, forceReplace = old)
+      .getOrElse(sys.error(s"rebucket of empty table $dir"))
+    target
+  }
+
   private def listDir(p: Path): Seq[Path] = {
     val s = Files.list(p)
     try s.iterator.asScala.toSeq finally s.close()
@@ -450,4 +479,27 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
 
 object SnapshotTable {
   private val SnapName = """snap-(\d+)\.json""".r
+  private val BucketsField = """"buckets":(\d+)""".r
+  private val BucketField = """"bucket":(\d+)""".r
+
+  /** Open an existing table, recovering the LIVE bucket count from the
+    * current manifest — the reason the count is a manifest field and not
+    * caller configuration: after a [[SnapshotTable.rebucket]] every reader
+    * constructed with the old count would mis-hash point reads. Pre-field
+    * manifests (written before bucket-count tracking) fall back to
+    * max(bucket)+1 — exact for them because their writers always filled
+    * the id range densely enough for tests; new manifests always carry the
+    * field. */
+  def open(dir: String): SnapshotTable = {
+    val cur = Paths.get(dir, "CURRENT")
+    require(Files.exists(cur), s"no committed snapshot in $dir")
+    val snapId = Files.readString(cur).trim.toLong
+    val manifest = Files.readString(
+      Paths.get(dir, "manifests", s"snap-$snapId.json"))
+    val n = BucketsField.findFirstMatchIn(manifest).map(_.group(1).toInt)
+      .orElse(BucketField.findAllMatchIn(manifest)
+        .map(_.group(1).toInt).maxOption.map(_ + 1))
+      .getOrElse(sys.error(s"manifest snap-$snapId.json carries no bucket ids"))
+    new SnapshotTable(dir, n)
+  }
 }

@@ -399,4 +399,45 @@ class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
     assert(key(replayed) == key(spark.read.parquet(
       table.committedEntries(spark).filter(_.bucket == victimBucket).map(_.path): _*)))
   }
+
+  test("rebucket: layout evolution preserves data and time travel; open() " +
+    "recovers the live bucket count; shrink leaves no stale old-layout entries") {
+    import testImplicits._
+    val dir = Files.createTempDirectory("snaprebucket").toString
+    val table = new SnapshotTable(dir, numBuckets = 4)
+    val turns = TranscriptGen.dataset(spark, seed, nConvs, hotBase, partitions = 4)
+    ExtractJob.runIncremental(spark, table, turns, runId = "runA")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("conv_id", "turn_idx", "text")
+      .as[(String, Int, String)].collect().sorted.toSeq
+    val before = rows(table.read(spark))
+    assert(table.committedBuckets(spark) == (0 until 4).toSet)
+
+    // grow 4 → 16: data identical, manifest carries only new-layout ids,
+    // point reads hash with the NEW count via the returned handle / open()
+    val wide = table.rebucket(spark, 16, runId = "grow16")
+    assert(rows(wide.read(spark)) == before)
+    assert(wide.committedBuckets(spark).forall(_ < 16))
+    assert(wide.committedBuckets(spark).exists(_ >= 4)) // layout actually changed
+    val opened = SnapshotTable.open(dir)
+    assert(opened.numBuckets == 16)
+    val conv = before.head._1
+    assert(rows(opened.readConversation(spark, conv).where(col("turn_idx") >= 0))
+      == before.filter(_._1 == conv))
+
+    // time travel: the pre-rebucket snapshot still reads the OLD layout
+    assert(rows(wide.readAt(spark, 0L)) == before)
+
+    // shrink 16 → 2: forceReplace must drop every old-layout entry (ids
+    // ≥ 2 would otherwise survive the merge as stale manifest lines)
+    val narrow = wide.rebucket(spark, 2, runId = "shrink2")
+    assert(narrow.committedBuckets(spark) == Set(0, 1))
+    assert(rows(narrow.read(spark)) == before)
+    assert(SnapshotTable.open(dir).numBuckets == 2)
+
+    // the STALE handle is the documented hazard open() exists for: it
+    // still full-reads correctly (paths come from the manifest) but
+    // mis-hashes point reads
+    assert(rows(table.read(spark)) == before)
+  }
 }
