@@ -1601,6 +1601,37 @@ object SparkEntry {
         round(TF.qualityScore(c), 4).as("quality"))
     }),
 
+    "q_gopher_rules" -> ((s, dir) => {
+      // Gopher rule-based quality FILTER (Rae et al. 2021, Appendix A) —
+      // the standard pre-LM hygiene pass, all thresholds in one place:
+      // word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+      // alphabetic-word ratio, minimum stopword presence. Emits the
+      // per-rule verdicts (an auditable filter, not just a keep bit) plus
+      // the conjunction. A NARROW per-row map — zero exchanges; ratios in
+      // integer milli-units (floor division) so every engine agrees bit
+      // for bit.
+      val w = TF.tokens(col("text"))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          size(w).cast("long").as("n_words"),
+          length(regexp_replace(trim(col("text")), " +", "")).cast("long")
+            .as("sum_wlen"),
+          TF.punctCount(col("text")).cast("long").as("n_punct"),
+          size(filter(w, x => x.rlike("[a-z]"))).cast("long").as("n_alpha"),
+          TF.stopwordCount(col("text")).cast("long").as("n_stop"))
+        .withColumn("mwl_milli", expr("sum_wlen * 1000 div n_words"))
+        .withColumn("sym_milli", expr("n_punct * 1000 div n_words"))
+        .withColumn("alpha_milli", expr("n_alpha * 1000 div n_words"))
+        .withColumn("r_wordcount", col("n_words") >= 50 && col("n_words") <= 100000)
+        .withColumn("r_meanlen", col("mwl_milli") >= 3000 && col("mwl_milli") <= 10000)
+        .withColumn("r_symbol", col("sym_milli") <= 100)
+        .withColumn("r_alpha", col("alpha_milli") >= 800)
+        .withColumn("r_stop", col("n_stop") >= 2)
+        .withColumn("keep", col("r_wordcount") && col("r_meanlen") &&
+          col("r_symbol") && col("r_alpha") && col("r_stop"))
+        .drop("sum_wlen")
+    }),
+
     "q_token_bpe" -> ((s, dir) => {
       // BPE-style pre-tokenization count (GPT-2-ish word/number/punct
       // splitting, simplified to a regex portable across Java and RE2):
@@ -2957,6 +2988,32 @@ object SparkEntry {
            len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))::BIGINT AS bpe_tokens,
            len(string_split_regex(trim(text), ' +'))::BIGINT AS ws_tokens
          FROM documents""",
+
+    "q_gopher_rules" ->
+      s"""WITH base AS (SELECT doc_id, text,
+             string_split_regex(trim(text), ' +') AS w FROM documents),
+         c AS (SELECT doc_id,
+             len(w)::BIGINT AS n_words,
+             length(regexp_replace(trim(text), ' +', '', 'g'))::BIGINT AS sum_wlen,
+             (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT AS n_punct,
+             len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+             len(list_filter(w, x -> list_contains($oStop, x)))::BIGINT AS n_stop
+           FROM base),
+         r AS (SELECT doc_id, n_words, n_punct, n_alpha, n_stop,
+             (sum_wlen * 1000 // n_words)::BIGINT AS mwl_milli,
+             (n_punct * 1000 // n_words)::BIGINT AS sym_milli,
+             (n_alpha * 1000 // n_words)::BIGINT AS alpha_milli
+           FROM c)
+         SELECT doc_id, n_words, n_punct, n_alpha, n_stop,
+           mwl_milli, sym_milli, alpha_milli,
+           (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+           (mwl_milli >= 3000 AND mwl_milli <= 10000) AS r_meanlen,
+           (sym_milli <= 100) AS r_symbol,
+           (alpha_milli >= 800) AS r_alpha,
+           (n_stop >= 2) AS r_stop,
+           ((n_words >= 50 AND n_words <= 100000) AND (mwl_milli >= 3000 AND mwl_milli <= 10000)
+             AND sym_milli <= 100 AND alpha_milli >= 800 AND n_stop >= 2) AS keep
+         FROM r""",
 
     "q_fingerprint" ->
       s"""SELECT doc_id, ${oFp("text")} AS fp FROM documents""",

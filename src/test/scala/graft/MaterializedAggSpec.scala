@@ -140,4 +140,38 @@ class MaterializedAggSpec extends AnyFunSuite with SparkTestBase {
       assert(e >= n * 0.6 && e <= n * 1.4, s"group $k: est $e vs exact $n")
     }
   }
+
+  test("streaming-maintained view: a refresh per micro-batch rides the " +
+    "append-only delta (proven by hiding the earlier batch's files) and " +
+    "stays exactly equal to a from-scratch aggregate") {
+    import testImplicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("snapaggstream").toString
+    val table = new SnapshotTable(s"$dir/table", numBuckets = 4)
+    val ma = new MaterializedAgg(table, s"$dir/view")
+    val turns = TranscriptGen.corpus(11L, nConvs = 16, hotBase = 30).map(_.turn).toVector
+
+    val stream = MemoryStream[graft.model.Turn]
+    val q = graft.streaming.StreamingExtract.snapshotSink(
+      graft.streaming.StreamingExtract.extract(spark, stream.toDS()),
+      table, s"$dir/ckpt").trigger(Trigger.ProcessingTime(0)).start()
+    val (a, b) = turns.splitAt(turns.size / 2)
+    stream.addData(a); q.processAllAvailable()
+    val snap0 = ma.refresh(spark)
+    assert(viewRows(ma) == fullAgg(table.read(spark)))
+
+    stream.addData(b); q.processAllAvailable()
+    q.stop()
+    // hide batch 0's data files before the second refresh: a full
+    // recompute would crash, the delta path never touches them
+    val run0 = Paths.get(s"$dir/table/data/run=stream-0")
+    val hidden = Paths.get(s"$dir/table/data/hidden-stream-0")
+    Files.move(run0, hidden)
+    val snap1 = ma.refresh(spark)
+    assert(snap1 > snap0)
+    Files.move(hidden, run0)
+    assert(viewRows(ma) == fullAgg(table.read(spark)))
+  }
 }

@@ -288,6 +288,11 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("gopher rule filter is a narrow per-row map — zero exchanges") {
+    val p = planOf("q_gopher_rules")
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("PII scrub is a narrow per-row map — zero exchanges") {
     val p = planOf("q_pii_scrub")
     assert(!p.contains("Exchange"), p)
