@@ -1632,6 +1632,119 @@ object SparkEntry {
         .drop("sum_wlen")
     }),
 
+    "q_bm25" -> ((s, dir) => {
+      // BM25 ranked retrieval (Robertson & Zaragoza 2009) — the standard
+      // bag-of-words relevance function, over a bounded literal query set
+      // (k1 = 1.2, b = 0.75 in milli-integer arithmetic: every division is
+      // integer floor division, so scores are hash-exact cross-engine).
+      // Scale shape: the token stream is restricted to query terms by a
+      // NARROW isin filter before any aggregation, so the tf exchange
+      // carries only matching tokens (at 100 TB: a tiny fraction of the
+      // corpus); document length rides along per token row — no doc-keyed
+      // join to re-attach dl later; df is derived from the tf AGGREGATE
+      // (≤ |query vocabulary| rows) and broadcast; corpus totals are a
+      // 1-row broadcast. The per-query top-10 election is the bounded
+      // TopKAgg typed Aggregator — a hot query's candidates ship ≤ k rows
+      // per map task, never a window funnel over the whole posting list.
+      val queryTerms = Seq(
+        (1L, "spark"), (1L, "query"), (1L, "join"),
+        (2L, "hash"), (2L, "merge"), (2L, "sort"),
+        (3L, "stream"), (3L, "window"), (3L, "agg"),
+        (4L, "slow"), (4L, "scan"), (4L, "filter"))
+      import s.implicits._
+      val qterms = queryTerms.toDF("qid", "w")
+      val terms = queryTerms.map(_._2).distinct
+      val toks = fanOut(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          size(TF.tokens(col("text"))).cast("long").as("dl"),
+          explode(TF.tokens(col("text"))).as("w"))
+        .filter(col("w").isin(terms: _*))
+      val tf = toks.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val totals = t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TF.tokens(col("text")))).cast("long").as("sum_dl"))
+      // Two consumers (top-k election + score attach): materialize once —
+      // same multi-consumer-intermediate discipline as q_tfidf_topterms,
+      // as persist() here (the per-(qid,doc) aggregate is bounded by the
+      // query set's posting lists, far smaller than the corpus) so the
+      // full plan stays visible to PlanSpec's shape assertions.
+      val scored = tf
+        .join(broadcast(dfreq), Seq("w"))
+        .join(broadcast(qterms), Seq("w"))
+        .crossJoin(broadcast(totals))
+        .withColumn("idf_bits",
+          (length(bin(expr("n_docs div df"))) - 1).cast("long"))
+        .withColumn("ratio_milli", expr("dl * 1000 * n_docs div sum_dl"))
+        .withColumn("norm_milli", expr("250 + (750 * ratio_milli) div 1000"))
+        .withColumn("den_milli",
+          expr("tf * 1000 + (1200 * norm_milli) div 1000"))
+        .withColumn("tscore",
+          expr("idf_bits * ((tf * 2200 * 1000) div den_milli)"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("n_hit"), sum(col("tscore")).as("score"))
+        .persist()
+      val topk = udaf(new graft.functions.TopKAgg(10),
+        graft.functions.TopKAgg.scoredEncoder)
+      // score is BIGINT but < 2^53 by construction (tf, idf_bits bounded
+      // by document/corpus size in bits) — exact as the Aggregator's
+      // Double sort key, so the election order matches the oracle window.
+      val top = scored.groupBy(col("qid"))
+        .agg(topk(col("doc_id"), col("score").cast("double")).as("ids"))
+        .select(col("qid"), posexplode(col("ids")).as(Seq("rk", "doc_id")))
+      scored.join(broadcast(top), Seq("qid", "doc_id"))
+        .select(col("qid"), (col("rk") + 1).cast("int").as("rk"),
+          col("doc_id"), col("n_hit"), col("score"))
+    }),
+
+    "q_dsir_weight" -> ((s, dir) => {
+      // DSIR — Data Selection with Importance Resampling (Xie et al.,
+      // NeurIPS 2023): per-document importance weight
+      // log p_target(x) − log p_raw(x) under hashed unigram bag-of-words
+      // models, the modern pretraining-data curation op (select raw web
+      // text that "looks like" a target domain — here lang='en'). The
+      // hashing trick bounds BOTH models at 4096 rows by construction
+      // (the DSIR paper's own discipline), and ONE bounded groupBy(fid)
+      // builds them together (count + conditional count — map-side
+      // partials, ≤ 4096 keys cross the shuffle). Laplace-smoothed
+      // surprisals as integer bits (floor(log2((tot+4096)/(c+1))) via the
+      // bin-length trick — no float log), weight = Σ (bits_raw −
+      // bits_target): positive ⇒ token is LIKELIER under the target
+      // model. No division anywhere (Spark `div` truncates toward zero,
+      // DuckDB `//` floors — they disagree on negatives), so the weight
+      // stays a hash-exact BIGINT. Plan: corpus tokenizes and hashes
+      // narrowly, models attach as a BroadcastHashJoin, one per-doc
+      // aggregate — exactly two corpus-token exchanges (model build +
+      // doc_id), both map-side combined.
+      TextFingerprint.register(s)
+      val docs = t(s, dir, "documents")
+      val toks = fanOut(docs)
+        .select(col("doc_id"), col("lang"),
+          explode(TF.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), (col("lang") === "en").as("is_t"),
+          pmod(call_function("text_fingerprint", col("tok")),
+            lit(4096L)).as("fid"))
+      val model = toks.groupBy(col("fid"))
+        .agg(count(lit(1)).as("rc"),
+          sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"))
+      val totals = docs.agg(
+        sum(size(TF.tokens(col("text")))).cast("long").as("r_tot"),
+        sum(when(col("lang") === "en", size(TF.tokens(col("text"))))
+          .otherwise(0)).cast("long").as("t_tot"))
+      toks
+        .join(broadcast(model), Seq("fid"))
+        .crossJoin(broadcast(totals))
+        .withColumn("bits_t",
+          length(bin(expr("(t_tot + 4096) div (tc + 1)"))) - 1)
+        .withColumn("bits_r",
+          length(bin(expr("(r_tot + 4096) div (rc + 1)"))) - 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(expr("bits_r - bits_t")).cast("long").as("w_total"))
+        .withColumn("keep", col("w_total") > 0)
+    }),
+
     "q_token_bpe" -> ((s, dir) => {
       // BPE-style pre-tokenization count (GPT-2-ish word/number/punct
       // splitting, simplified to a regex portable across Java and RE2):
@@ -3014,6 +3127,57 @@ object SparkEntry {
            ((n_words >= 50 AND n_words <= 100000) AND (mwl_milli >= 3000 AND mwl_milli <= 10000)
              AND sym_milli <= 100 AND alpha_milli >= 800 AND n_stop >= 2) AS keep
          FROM r""",
+
+    "q_bm25" ->
+      """WITH q AS (SELECT qid::BIGINT AS qid, w FROM (VALUES
+             (1,'spark'),(1,'query'),(1,'join'),
+             (2,'hash'),(2,'merge'),(2,'sort'),
+             (3,'stream'),(3,'window'),(3,'agg'),
+             (4,'slow'),(4,'scan'),(4,'filter')) v(qid, w)),
+         toks AS (SELECT doc_id,
+             len(string_split_regex(trim(text), ' +'))::BIGINT AS dl,
+             unnest(string_split_regex(trim(text), ' +')) AS w
+           FROM documents),
+         tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf, min(dl)::BIGINT AS dl
+           FROM toks WHERE w IN (SELECT w FROM q) GROUP BY doc_id, w),
+         dfreq AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w),
+         tot AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(len(string_split_regex(trim(text), ' +')))::BIGINT AS sum_dl
+           FROM documents),
+         sc AS (SELECT qid, doc_id, count(*)::BIGINT AS n_hit,
+             sum(tscore)::BIGINT AS score FROM (
+             SELECT q.qid, tf.doc_id,
+               (length(bin(n_docs // df)) - 1)::BIGINT *
+                 ((tf * 2200 * 1000) // (tf * 1000 +
+                   (1200 * (250 + (750 * (dl * 1000 * n_docs // sum_dl)) // 1000)) // 1000)) AS tscore
+             FROM tf JOIN dfreq USING (w) JOIN q ON tf.w = q.w CROSS JOIN tot)
+           GROUP BY qid, doc_id),
+         ranked AS (SELECT qid, doc_id, n_hit, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+           FROM sc)
+         SELECT qid, rk::INT AS rk, doc_id, n_hit, score
+         FROM ranked WHERE rk <= 10""",
+
+    "q_dsir_weight" -> {
+      s"""WITH raw AS (SELECT doc_id, (lang = 'en') AS is_t,
+             unnest(string_split_regex(trim(text), ' +')) AS tok
+           FROM documents),
+         toks AS (SELECT doc_id, is_t, ${oFp("tok")} % 4096 AS fid FROM raw),
+         model AS (SELECT fid, count(*)::BIGINT AS rc,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS tc
+           FROM toks GROUP BY fid),
+         tot AS (SELECT
+             sum(len(string_split_regex(trim(text), ' +')))::BIGINT AS r_tot,
+             sum(CASE WHEN lang = 'en'
+                 THEN len(string_split_regex(trim(text), ' +'))
+                 ELSE 0 END)::BIGINT AS t_tot
+           FROM documents),
+         agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             sum((length(bin((r_tot + 4096) // (rc + 1))) - 1)
+               - (length(bin((t_tot + 4096) // (tc + 1))) - 1))::BIGINT AS w_total
+           FROM toks JOIN model USING (fid) CROSS JOIN tot GROUP BY doc_id)
+         SELECT doc_id, n_tokens, w_total, (w_total > 0) AS keep FROM agg"""
+    },
 
     "q_fingerprint" ->
       s"""SELECT doc_id, ${oFp("text")} AS fp FROM documents""",

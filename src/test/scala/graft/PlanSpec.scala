@@ -293,6 +293,30 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("bm25: query-term filter is pushed into the narrow token stage " +
+    "(tf shuffles only matching tokens), df/query/totals all broadcast, " +
+    "and the per-query top-10 is the bounded TopKAgg — window-free") {
+    val p = planOf("q_bm25")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the isin() term filter runs before the explode's consumer aggregate
+    assert(p.contains("w#") && p.contains(" INSET "), p)
+    // tf and the per-(qid,doc) score aggregate both map-side combine
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("dsir: both hashed models come from ONE bounded groupBy(fid) " +
+    "(map-side partials), attach as a BroadcastHashJoin, and the per-doc " +
+    "weight aggregate partial-combines — the corpus never shuffles for " +
+    "the model lookup") {
+    val p = planOf("q_dsir_weight")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("PII scrub is a narrow per-row map — zero exchanges") {
     val p = planOf("q_pii_scrub")
     assert(!p.contains("Exchange"), p)
