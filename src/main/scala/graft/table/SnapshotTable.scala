@@ -417,6 +417,61 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     deadPaths
   }
 
+  /** Orphan-file cleanup (Iceberg `removeOrphanFiles` analog): delete data
+    * file-sets under `data/` that NO manifest on disk references. Orphans
+    * are the residue of the crash-safe commit protocol itself — data is
+    * written FIRST, so a writer that dies before its manifest lands leaves
+    * a complete but unreachable `run=<id>/bucket=<b>` tree that `read`
+    * correctly ignores but nothing ever deletes; a pipeline that retries
+    * failed runs accumulates them forever. [[expireSnapshots]] cannot
+    * collect these (it only walks manifest-referenced paths), so the two
+    * maintenance passes are complements, as in Iceberg.
+    *
+    * `olderThanMillis` is the same safety valve as Iceberg's `olderThan`:
+    * an IN-FLIGHT writer has, by protocol, already written data its
+    * manifest hasn't claimed yet — deleting young unreferenced files would
+    * corrupt a concurrent commit. Only bucket dirs whose newest file is
+    * older than the horizon are collected.
+    *
+    * @return deleted bucket file-set paths. */
+  def removeOrphanFiles(spark: SparkSession, olderThanMillis: Long): Seq[String] = {
+    val dataDir = Paths.get(dir, "data")
+    if (!Files.exists(dataDir)) return Seq.empty
+    val live = snapshotIds.flatMap(entriesAt(spark, _)).map(_.path).toSet
+    val horizon = System.currentTimeMillis() - olderThanMillis
+    def newestMtime(p: Path): Long = {
+      val w = Files.walk(p)
+      try w.iterator.asScala.map(Files.getLastModifiedTime(_).toMillis).max
+      finally w.close()
+    }
+    val deleted = for {
+      run <- listDir(dataDir) if Files.isDirectory(run)
+      bucket <- listDir(run)
+      if Files.isDirectory(bucket) &&
+        bucket.getFileName.toString.startsWith("bucket=") &&
+        !live(bucket.toString) && newestMtime(bucket) < horizon
+    } yield {
+      val w = Files.walk(bucket)
+      try w.iterator.asScala.toSeq.reverseIterator.foreach(Files.deleteIfExists(_))
+      finally w.close()
+      bucket.toString
+    }
+    // drop run dirs reduced to writer-side markers (_SUCCESS, .crc) — but
+    // only if the markers themselves are past the horizon (a run dir whose
+    // buckets were ALL orphaned above is residue; a just-created one with
+    // no buckets yet may be a writer about to move files in)
+    listDir(dataDir).filter(Files.isDirectory(_)).foreach { run =>
+      val residue = listDir(run)
+      if (residue.forall(f => { val n = f.getFileName.toString
+        n.startsWith("_") || n.startsWith(".") }) &&
+          (residue.isEmpty || newestMtime(run) < horizon)) {
+        residue.foreach(Files.deleteIfExists(_))
+        Files.deleteIfExists(run)
+      }
+    }
+    deleted
+  }
+
   /** Incremental scan (Iceberg `incremental append scan` analog): the rows
     * added AFTER `fromSnapshotId`, up to and including `toSnapshotId` —
     * exactly the file-sets listed by `to`'s manifest but not `from`'s. A

@@ -440,4 +440,55 @@ class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
     // mis-hashes point reads
     assert(rows(table.read(spark)) == before)
   }
+
+  test("removeOrphanFiles: unreferenced crashed-run data is collected past " +
+    "the age horizon, young (possibly in-flight) data and every " +
+    "manifest-referenced file survive, time travel intact") {
+    import testImplicits._
+    val dir = Files.createTempDirectory("snaporphan").toString
+    val table = new SnapshotTable(dir, numBuckets = 4)
+    val turns = TranscriptGen.dataset(spark, seed, nConvs, hotBase, partitions = 4)
+    ExtractJob.runIncremental(spark, table, turns, runId = "runA")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("conv_id", "turn_idx", "text")
+      .as[(String, Int, String)].collect().sorted.toSeq
+    val before = rows(table.read(spark))
+    val liveFiles = table.read(spark).inputFiles.sorted.toSeq
+
+    // a crashed writer's residue: data written, manifest never committed
+    val sample = turns.limit(5)
+    ExtractPipeline.extract(spark, sample)
+      .write.parquet(s"$dir/data/run=crashed/bucket=1")
+    // an in-flight writer's residue: same shape, but YOUNG
+    ExtractPipeline.extract(spark, sample)
+      .write.parquet(s"$dir/data/run=inflight/bucket=2")
+    def backdate(p: java.nio.file.Path): Unit = {
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600 * 1000)
+      val w = java.nio.file.Files.walk(p)
+      try w.iterator().forEachRemaining(f =>
+        java.nio.file.Files.setLastModifiedTime(f, old))
+      finally w.close()
+    }
+    backdate(java.nio.file.Paths.get(s"$dir/data/run=crashed"))
+
+    val deleted = table.removeOrphanFiles(spark, olderThanMillis = 60000)
+    assert(deleted == Seq(s"$dir/data/run=crashed/bucket=1"), deleted)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/data/run=crashed")),
+      "emptied crashed run dir must be dropped")
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/data/run=inflight/bucket=2")),
+      "young data inside the horizon must survive (may be a commit in flight)")
+    // referenced data byte-untouched, live read + time travel unchanged
+    assert(table.read(spark).inputFiles.sorted.toSeq == liveFiles)
+    assert(rows(table.read(spark)) == before)
+    assert(rows(table.readAt(spark, 0L)) == before)
+
+    // horizon passes for the in-flight residue → second pass collects it;
+    // idempotent after that
+    backdate(java.nio.file.Paths.get(s"$dir/data/run=inflight"))
+    assert(table.removeOrphanFiles(spark, olderThanMillis = 60000)
+      == Seq(s"$dir/data/run=inflight/bucket=2"))
+    assert(table.removeOrphanFiles(spark, olderThanMillis = 60000).isEmpty)
+    assert(rows(table.read(spark)) == before)
+  }
 }
