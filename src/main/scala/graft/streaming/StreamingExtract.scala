@@ -124,6 +124,40 @@ object StreamingExtract {
         commitBatch(table, batch, batchId); ()
       }
 
+  /** A feedback/annotation event arriving on its OWN stream (tool results,
+    * human labels, safety verdicts) that must be attached to the turn it
+    * annotates — the other half of the stream-stream join below. */
+  final case class Feedback(conv_id: String, turn_idx: Int,
+      fb_ts: java.sql.Timestamp, label: String)
+
+  /** STREAM-STREAM event-time join: attach feedback events to turns when
+    * the feedback arrives within `[ts, ts + horizonSec]` of the turn.
+    * Both sides carry a watermark AND the join condition bounds the two
+    * event times against each other — the two requirements that let the
+    * engine expire join state instead of buffering both streams forever
+    * (the only stream-stream shape that survives at scale; an unbounded
+    * stream-stream join is a memory leak by construction). `leftOuter`:
+    * a turn whose horizon passes with no feedback emits once, null-padded,
+    * when the watermark PROVES no match can still arrive — the engine's
+    * completeness guarantee, not a timer heuristic. State per key is
+    * bounded by horizon + watermark delay. */
+  def joinFeedback(turns: Dataset[Turn], feedback: Dataset[Feedback],
+      watermarkDelay: String = "10 seconds", horizonSec: Int = 60): DataFrame = {
+    val t = turns.toDF().withWatermark("ts", watermarkDelay)
+    val f = feedback.toDF()
+      .withColumnRenamed("conv_id", "fb_conv_id")
+      .withColumnRenamed("turn_idx", "fb_turn_idx")
+      .withWatermark("fb_ts", watermarkDelay)
+    t.join(f,
+        col("conv_id") === col("fb_conv_id") &&
+        col("turn_idx") === col("fb_turn_idx") &&
+        col("fb_ts") >= col("ts") &&
+        col("fb_ts") <= col("ts") + expr(s"interval $horizonSec seconds"),
+        "leftOuter")
+      .select(col("conv_id"), col("turn_idx"), col("ts"),
+        col("fb_ts"), col("label"))
+  }
+
   /** Windowed extraction metrics (the streaming analog of the snapshot
     * manifest's per-partition metrics): 10-second event-time tumbling
     * windows per tool dialect, 30-second watermark for late turns. */

@@ -288,4 +288,55 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val totalChars = rows.agg(org.apache.spark.sql.functions.sum("charsEmitted")).as[Long].first()
     assert(totalChars == goldens.map(_.expText.length).sum)
   }
+
+  test("stream-stream join: feedback inside the horizon attaches, outside " +
+    "doesn't, and an unmatched turn emits null-padded once the watermark " +
+    "proves no match can arrive") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingExtract.Feedback
+    val day = 86400L
+    def turn(conv: String, idx: Int, sec: Long) = graft.model.Turn(
+      conv, idx, "user", s"text $conv $idx", "plain",
+      new java.sql.Timestamp((day + sec) * 1000L))
+    def fb(conv: String, idx: Int, sec: Long, label: String) = Feedback(
+      conv, idx, new java.sql.Timestamp((day + sec) * 1000L), label)
+
+    val turns = MemoryStream[graft.model.Turn]
+    val feedback = MemoryStream[Feedback]
+    val joined = StreamingExtract.joinFeedback(
+      turns.toDS(), feedback.toDS(),
+      watermarkDelay = "10 seconds", horizonSec = 60)
+    val q = joined.writeStream
+      .format("memory").queryName("fb_join")
+      .outputMode("append")
+      .start()
+    def rows() = spark.table("fb_join")
+      .select("conv_id", "turn_idx", "label")
+      .as[(String, Int, Option[String])].collect().toVector.sorted
+
+    // c1/0 gets feedback at +5s (inside 60s horizon) → match emits as soon
+    // as both rows meet; c1/1's only feedback is at +100s (outside) and
+    // must NOT attach
+    turns.addData(Seq(turn("c1", 0, 0), turn("c1", 1, 10)))
+    feedback.addData(Seq(fb("c1", 0, 5, "good"), fb("c1", 1, 100, "late")))
+    q.processAllAvailable()
+    assert(rows().contains(("c1", 0, Some("good"))))
+    assert(!rows().exists(r => r._1 == "c1" && r._2 == 1),
+      "unmatched turn must NOT emit before the watermark proves no match")
+
+    // advance BOTH watermarks far past c1/1's horizon (+10s+60s+delay):
+    // the null-padded row for c1/1 must now emit exactly once
+    turns.addData(Seq(turn("zz", 0, 500)))
+    feedback.addData(Seq(fb("zz", 9, 500, "advance")))
+    q.processAllAvailable()
+    turns.addData(Seq.empty[graft.model.Turn])
+    feedback.addData(Seq.empty[Feedback])
+    q.processAllAvailable()
+    val out = rows()
+    q.stop()
+    assert(out.count(r => r._1 == "c1" && r._2 == 1) == 1, out.toString)
+    assert(out.contains(("c1", 1, None)), out.toString)
+    assert(out.count(r => r._1 == "c1" && r._2 == 0) == 1, out.toString)
+  }
 }
