@@ -1975,6 +1975,99 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("bpt_milli"), col("bucket"))
     }),
 
+    "q_bigram_lm" -> ((s, dir) => {
+      // Bigram LM surprisal with STUPID BACKOFF (Brants et al., EMNLP 2007
+      // "Large Language Models in Machine Translation" — the web-scale
+      // backoff scheme chosen BECAUSE it needs no discounting statistics) —
+      // the step from q_unigram_lm toward CCNet's real n-gram perplexity
+      // filter. Bigrams come from a NARROW per-row zip of the token array
+      // with its own tail (no positional self-join — a (doc,pos)⋈(doc,pos+1)
+      // join would shuffle the corpus twice); both models are bounded BY
+      // CONSTRUCTION (top-4096 bigrams / top-1024 unigrams via
+      // TakeOrderedAndProject) and broadcast. Scoring: in-model bigram pays
+      // floor(log2(B/bc)) bits; a backoff miss pays a flat 4-bit penalty
+      // (α = 1/16) + the unigram surprisal of the CONTINUATION word —
+      // integer-exact everywhere via the bin-length trick (no float log).
+      val docs = fanOut(t(s, dir, "documents"))
+        .select(col("doc_id"), TF.tokens(col("text")).as("w"))
+      val bg = docs.select(col("doc_id"), explode(expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+          "(a, b) -> struct(concat(a, ' ', b) AS bg, b AS w2))")).as("p"))
+        .select(col("doc_id"), col("p.bg").as("bg"), col("p.w2").as("w2"))
+      val uni = docs.select(explode(col("w")).as("w2"))
+        .groupBy("w2").agg(count(lit(1)).as("uc"))
+      val topu = uni.orderBy(col("uc").desc, col("w2")).limit(1024)
+      val topb = bg.groupBy("bg").agg(count(lit(1)).as("bc"))
+        .orderBy(col("bc").desc, col("bg")).limit(4096)
+      val totals = t(s, dir, "documents").agg(
+        sum(size(TF.tokens(col("text")))).cast("long").as("n_total"),
+        sum(greatest(size(TF.tokens(col("text"))) - 1, lit(0)))
+          .cast("long").as("b_total"))
+      bg.join(broadcast(topb), Seq("bg"), "left")
+        .join(broadcast(topu), Seq("w2"), "left")
+        .crossJoin(broadcast(totals))
+        .withColumn("bits",
+          when(col("bc").isNotNull,
+            length(bin(expr("b_total div bc"))) - 1)
+          .otherwise(lit(4) +
+            length(bin(expr("n_total div coalesce(uc, 1)"))) - 1))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("bc").isNull, 1L).otherwise(0L)).as("n_backoff"),
+          sum(col("bits")).cast("long").as("bits_total"))
+    }),
+
+    "q_funnel" -> ((s, dir) => {
+      // Ordered 3-stage FUNNEL (view → click → purchase): stage k's entry
+      // time is the user's earliest stage-k event STRICTLY AFTER their
+      // stage-(k−1) entry — the product-analytics sequence-match operator.
+      // The sequential dependency is three same-key aggregates chained by
+      // user_id equi-joins: after the first exchange every later join and
+      // groupBy reuses the user_id hash partitioning (no window over a
+      // user's full event history, no per-user sort of the corpus).
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+      s1.join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"),
+          (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+            + when(col("t_purchase").isNotNull, 1).otherwise(0))
+            .cast("int").as("stage"))
+    }),
+
+    "q_retention_cohort" -> ((s, dir) => {
+      // Weekly COHORT RETENTION matrix: cohort = the ISO week of the
+      // user's first signup, cell (cohort_week, week_offset) = distinct
+      // users of that cohort active `offset` weeks later — the standard
+      // growth-analytics rollup. Scale shape: per-user first-signup and
+      // the distinct (user, week) activity grid are both user_id-keyed
+      // aggregates (map-side partials; the join reuses the partitioning);
+      // the final matrix is bounded by weeks², not users.
+      val ev = t(s, dir, "events")
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(min(to_date(date_trunc("week", col("ts")))).as("cohort_week"))
+      val activity = ev.select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("act_week")).distinct()
+      cohort.join(activity, Seq("user_id"))
+        .filter(col("act_week") >= col("cohort_week"))
+        .withColumn("week_offset",
+          expr("datediff(act_week, cohort_week) div 7"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     "q_pii_scrub" -> ((s, dir) => {
       // PII SCRUBBING — detect + redact email/phone patterns, count per
       // class (the pre-training hygiene pass). The synthetic corpus has no
@@ -3275,6 +3368,63 @@ object SparkEntry {
            FROM cum)
          SELECT d.doc_id, d.lang, d.bpt_milli, c.bucket
          FROM d2 d JOIN cuts c USING (lang, bpt_milli)""",
+
+    "q_bigram_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+           FROM documents),
+         uvocab AS (SELECT u AS w2, count(*)::BIGINT AS uc
+           FROM (SELECT unnest(w) AS u FROM toks) GROUP BY u),
+         topu AS (SELECT w2, uc FROM (
+             SELECT w2, uc, row_number() OVER (ORDER BY uc DESC, w2) AS rk FROM uvocab)
+           WHERE rk <= 1024),
+         bg AS (SELECT doc_id, w[i-1] || ' ' || w[i] AS bg, w[i] AS w2
+           FROM (SELECT doc_id, w, unnest(generate_series(2, len(w)))::BIGINT AS i
+                 FROM toks)),
+         bvocab AS (SELECT bg, count(*)::BIGINT AS bc FROM bg GROUP BY bg),
+         topb AS (SELECT bg, bc FROM (
+             SELECT bg, bc, row_number() OVER (ORDER BY bc DESC, bg) AS rk FROM bvocab)
+           WHERE rk <= 4096),
+         tot AS (SELECT sum(len(w))::BIGINT AS n_total,
+             sum(greatest(len(w) - 1, 0))::BIGINT AS b_total FROM toks),
+         scored AS (SELECT doc_id,
+             CASE WHEN tb.bc IS NOT NULL THEN length(bin(b_total // tb.bc)) - 1
+                  ELSE 4 + length(bin(n_total // coalesce(tu.uc, 1))) - 1
+             END AS bits,
+             CASE WHEN tb.bc IS NULL THEN 1 ELSE 0 END AS backoff
+           FROM bg LEFT JOIN topb tb USING (bg) LEFT JOIN topu tu USING (w2)
+           CROSS JOIN tot)
+         SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           sum(backoff)::BIGINT AS n_backoff, sum(bits)::BIGINT AS bits_total
+         FROM scored GROUP BY doc_id""",
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t_click
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t_view
+           GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+           GROUP BY e.user_id)
+         SELECT s1.user_id, t_view, t_click, t_purchase,
+           (1 + CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END)::INT AS stage
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
+
+    "q_retention_cohort" ->
+      """WITH cohort AS (SELECT user_id,
+             min(date_trunc('week', ts)::DATE) AS cohort_week
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         activity AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS act_week
+           FROM events)
+         SELECT cohort_week,
+           (date_diff('day', cohort_week, act_week) // 7)::BIGINT AS week_offset,
+           count(DISTINCT user_id)::BIGINT AS n_users
+         FROM cohort JOIN activity USING (user_id)
+         WHERE act_week >= cohort_week
+         GROUP BY cohort_week, week_offset""",
 
     "q_pii_scrub" ->
       """WITH d AS (SELECT doc_id,

@@ -306,6 +306,32 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("bigram LM: both models bounded via TakeOrderedAndProject and " +
+    "broadcast; bigrams come from a narrow array zip (no positional " +
+    "self-join of the corpus)") {
+    val p = planOf("q_bigram_lm")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("zip_with"), p)
+  }
+
+  test("funnel: every stage aggregate map-side combines; no window over " +
+    "a user's event history, no cartesian") {
+    val p = planOf("q_funnel")
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("retention cohort: user-keyed aggregates partial-combine; no " +
+    "cartesian; matrix aggregate is a plain hash aggregate") {
+    val p = planOf("q_retention_cohort")
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dsir: both hashed models come from ONE bounded groupBy(fid) " +
     "(map-side partials), attach as a BroadcastHashJoin, and the per-doc " +
     "weight aggregate partial-combines — the corpus never shuffles for " +
