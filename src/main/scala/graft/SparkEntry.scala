@@ -1975,6 +1975,63 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("bpt_milli"), col("bucket"))
     }),
 
+    "q_kmv_intersect" -> ((s, dir) => {
+      // KMV / theta sketch SET OPERATIONS (Beyer et al., SIGMOD 2007; the
+      // DataSketches theta framework): per-language k-minimum-values
+      // sketches over distinct shingle hashes, then per-pair UNION and
+      // INTERSECTION cardinality estimates — the set-op face HLL lacks
+      // (HLL unions; it cannot intersect without inclusion–exclusion error
+      // blowup). Estimators: û(A∪B) = (k−1)·M / v_k over the merged k-set;
+      // î(A∩B) = ρ·û where ρ = |{v ∈ merged : v ∈ A ∧ v ∈ B}| / k — valid
+      // because any merged value ≤ v_k present in A must be in KMV_k(A).
+      // All integer arithmetic over the deterministic fingerprint space
+      // M = 1e9+7 — hash-exact cross-engine. Scale shape: ONE distinct
+      // (lang, h) exchange (partial-agg'd) builds the sketch input; the
+      // per-lang bottom-k is the bounded TopKAgg (≤ k rows per map task
+      // per lang — never a window over the distinct-hash stream); pair
+      // enumeration is a |langs|² self-join of k-length arrays — a bounded
+      // dimension. The exact intersection rides along as the quality twin
+      // (an h-keyed equi-join — linear, each hash meets ≤ |langs| rows).
+      TextFingerprint.register(s)
+      SF.register(s)
+      val k = 256
+      val hashes = fanOut(t(s, dir, "documents"))
+        .select(col("lang"), explode(SF.shinglesF(TF.tokens(col("text")))).as("sh"))
+        .select(col("lang"), call_function("text_fingerprint", col("sh")).as("h"))
+        .distinct()
+      val bottomk = udaf(new graft.functions.TopKAgg(k),
+        graft.functions.TopKAgg.scoredEncoder)
+      // TopKAgg keeps (score DESC, id ASC): score = −h ⇒ the k SMALLEST
+      // distinct hashes, ascending — exactly KMV_k. h < 2^31 so the Double
+      // sort key is exact.
+      val kmv = hashes.groupBy(col("lang"))
+        .agg(bottomk(col("h"), (col("h") * -1).cast("double")).as("kmv"))
+      val pairs = kmv.as("a").join(kmv.as("b"), col("a.lang") < col("b.lang"))
+        .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
+          col("a.kmv").as("ka"), col("b.kmv").as("kb"))
+      val exact = hashes.as("x").join(hashes.as("y"),
+          col("x.h") === col("y.h") && col("x.lang") < col("y.lang"))
+        .groupBy(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"))
+        .agg(count(lit(1)).as("n_exact"))
+      pairs
+        .withColumn("merged",
+          expr(s"slice(array_sort(array_distinct(concat(ka, kb))), 1, $k)"))
+        .withColumn("kk", size(col("merged")).cast("long"))
+        .withColumn("vk", expr("element_at(merged, cast(kk as int))"))
+        .withColumn("shared",
+          size(expr("array_intersect(array_intersect(merged, ka), kb)"))
+            .cast("long"))
+        // (k−1)·M precomputed as one BIGINT literal (an int×int product
+        // would overflow in both engines): 255 × 1000000007
+        .withColumn("union_est",
+          expr(s"CASE WHEN kk < $k THEN kk ELSE 255000001785 div vk END"))
+        .withColumn("intersect_est", expr("shared * union_est div kk"))
+        .join(exact, Seq("lang_a", "lang_b"), "left")
+        .select(col("lang_a"), col("lang_b"), col("kk"), col("shared"),
+          col("union_est"), col("intersect_est"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+    }),
+
     "q_bigram_lm" -> ((s, dir) => {
       // Bigram LM surprisal with STUPID BACKOFF (Brants et al., EMNLP 2007
       // "Large Language Models in Machine Translation" — the web-scale
@@ -3368,6 +3425,38 @@ object SparkEntry {
            FROM cum)
          SELECT d.doc_id, d.lang, d.bpt_milli, c.bucket
          FROM d2 d JOIN cuts c USING (lang, bpt_milli)""",
+
+    "q_kmv_intersect" ->
+      s"""WITH docs AS (SELECT lang, string_split_regex(trim(text), ' +') AS w
+           FROM documents),
+         sh AS (SELECT lang, unnest($oShingles) AS sg FROM docs),
+         h AS (SELECT DISTINCT lang, ${oFp("sg")} AS h FROM sh),
+         kmv AS (SELECT lang, h FROM (
+             SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rk
+             FROM h)
+           WHERE rk <= 256),
+         pr AS (SELECT a.lang AS lang_a, b.lang AS lang_b
+           FROM (SELECT DISTINCT lang FROM h) a, (SELECT DISTINCT lang FROM h) b
+           WHERE a.lang < b.lang),
+         mh AS (SELECT p.lang_a, p.lang_b, k.h,
+             max(CASE WHEN k.lang = p.lang_a THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN k.lang = p.lang_b THEN 1 ELSE 0 END) AS in_b
+           FROM pr p JOIN kmv k ON k.lang = p.lang_a OR k.lang = p.lang_b
+           GROUP BY p.lang_a, p.lang_b, k.h),
+         topm AS (SELECT lang_a, lang_b, h, in_a, in_b FROM (
+             SELECT lang_a, lang_b, h, in_a, in_b,
+               row_number() OVER (PARTITION BY lang_a, lang_b ORDER BY h) AS rk
+             FROM mh) WHERE rk <= 256),
+         st AS (SELECT lang_a, lang_b, count(*)::BIGINT AS kk, max(h) AS vk,
+             sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)::BIGINT AS shared
+           FROM topm GROUP BY lang_a, lang_b),
+         ex AS (SELECT x.lang AS lang_a, y.lang AS lang_b, count(*)::BIGINT AS n_exact
+           FROM h x JOIN h y ON x.h = y.h AND x.lang < y.lang GROUP BY 1, 2)
+         SELECT st.lang_a, st.lang_b, kk, shared,
+           (CASE WHEN kk < 256 THEN kk ELSE 255000001785 // vk END)::BIGINT AS union_est,
+           ((shared * (CASE WHEN kk < 256 THEN kk ELSE 255000001785 // vk END)) // kk)::BIGINT AS intersect_est,
+           coalesce(ex.n_exact, 0)::BIGINT AS n_exact
+         FROM st LEFT JOIN ex USING (lang_a, lang_b)""",
 
     "q_bigram_lm" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w

@@ -306,6 +306,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("kmv theta sketch: per-lang bottom-k is the bounded ObjectHashAggregate " +
+    "(no window over the distinct-hash stream); distinct partial-combines; " +
+    "only the |langs|-row sketch dimension nested-loops") {
+    val p = planOf("q_kmv_intersect")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial"), p)
+  }
+
   test("bigram LM: both models bounded via TakeOrderedAndProject and " +
     "broadcast; bigrams come from a narrow array zip (no positional " +
     "self-join of the corpus)") {
