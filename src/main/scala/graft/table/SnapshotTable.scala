@@ -386,7 +386,8 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
   def expireSnapshots(spark: SparkSession, keepLast: Int): Seq[String] = {
     require(keepLast >= 1, "must keep at least the live snapshot")
     val ids = snapshotIds
-    val keep = ids.takeRight(keepLast).toSet ++ currentSnapshotId
+    // tagged snapshots are pinned (the [[tag]] retention contract)
+    val keep = ids.takeRight(keepLast).toSet ++ currentSnapshotId ++ tags.values
     val expired = ids.filterNot(keep)
     if (expired.isEmpty) return Seq.empty
     val keptPaths = keep.toSeq.flatMap(entriesAt(spark, _)).map(_.path).toSet
@@ -415,6 +416,45 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
       }
     }
     deadPaths
+  }
+
+  // ---------------------------------------------------------------- tags
+
+  private def tagsDir: Path = Paths.get(dir, "tags")
+
+  /** Tag a snapshot (Iceberg tag analog): a named, immutable pin on a
+    * snapshot id — "the corpus release we trained v3 on". Tags are the
+    * retention contract: [[expireSnapshots]] NEVER collects a tagged
+    * snapshot, however old, so a tagged release stays reproducible while
+    * the daily chain around it is GC'd. Atomic single-file write; name is
+    * validated to stay a safe path segment. */
+  def tag(name: String, snapshotId: Long): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"unsafe tag name: $name")
+    require(snapshotIds.contains(snapshotId),
+      s"cannot tag unknown snapshot $snapshotId (have ${snapshotIds.mkString(",")})")
+    Files.createDirectories(tagsDir)
+    val tmp = tagsDir.resolve(s"$name.tmp")
+    Files.writeString(tmp, snapshotId.toString)
+    Files.move(tmp, tagsDir.resolve(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** All tags: name → snapshot id. */
+  def tags: Map[String, Long] =
+    if (!Files.exists(tagsDir)) Map.empty
+    else listDir(tagsDir)
+      .filterNot(_.getFileName.toString.endsWith(".tmp"))
+      .map(p => p.getFileName.toString -> Files.readString(p).trim.toLong)
+      .toMap
+
+  def dropTag(name: String): Boolean =
+    Files.deleteIfExists(tagsDir.resolve(name))
+
+  /** Time travel by tag. */
+  def readTag(spark: SparkSession, name: String): DataFrame = {
+    val id = tags.getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' in $dir"))
+    readAt(spark, id)
   }
 
   /** Orphan-file cleanup (Iceberg `removeOrphanFiles` analog): delete data

@@ -441,6 +441,45 @@ class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(table.read(spark)) == before)
   }
 
+  test("tags pin snapshots against GC (Iceberg tag analog): readTag " +
+    "time-travels, expireSnapshots never collects a tagged snapshot, " +
+    "dropTag releases the pin") {
+    import testImplicits._
+    val dir = Files.createTempDirectory("snaptag").toString
+    val table = new SnapshotTable(dir, numBuckets = 4)
+    val turns = TranscriptGen.dataset(spark, seed, nConvs, hotBase, partitions = 4)
+    val half = turns.withColumn("bucket", table.bucketOf)
+      .where(col("bucket") < 2).drop("bucket").as[graft.model.Turn]
+    ExtractJob.runIncremental(spark, table, half, runId = "runA") // snap 0
+    ExtractJob.runIncremental(spark, table, turns, runId = "runB") // snap 1
+    table.compact(spark, runId = "compactC") // snap 2 (all-new file-sets)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("conv_id", "turn_idx", "text")
+      .as[(String, Int, String)].collect().sorted.toSeq
+    val v1 = rows(table.readAt(spark, 0L))
+    val live = rows(table.read(spark))
+
+    table.tag("release-v1", 0L)
+    assert(table.tags == Map("release-v1" -> 0L))
+    intercept[IllegalArgumentException](table.tag("nope", 99L))
+    intercept[IllegalArgumentException](table.tag("../evil", 0L))
+
+    // keepLast=1 would normally expire snapshots 0 and 1 — the tag pins 0
+    table.expireSnapshots(spark, keepLast = 1)
+    assert(table.snapshotIds == Seq(0L, 2L), table.snapshotIds.toString)
+    assert(rows(table.readTag(spark, "release-v1")) == v1,
+      "tagged release must stay byte-reproducible after GC")
+    assert(rows(table.read(spark)) == live)
+
+    // releasing the pin makes the snapshot collectable; tag gone
+    assert(table.dropTag("release-v1"))
+    table.expireSnapshots(spark, keepLast = 1)
+    assert(table.snapshotIds == Seq(2L))
+    assert(table.tags.isEmpty || !table.tags.contains("release-v1"))
+    assert(rows(table.read(spark)) == live)
+    intercept[IllegalArgumentException](table.readTag(spark, "release-v1"))
+  }
+
   test("removeOrphanFiles: unreferenced crashed-run data is collected past " +
     "the age horizon, young (possibly in-flight) data and every " +
     "manifest-referenced file survive, time travel intact") {
