@@ -1975,6 +1975,71 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("bpt_milli"), col("bucket"))
     }),
 
+    "q_url_canon" -> ((s, dir) => {
+      // URL CANONICALIZATION + dedup — the CommonCrawl-style crawl-hygiene
+      // stage (two fetches of one page differ by scheme/host case, default
+      // port, tracking params, param order, fragment). The corpus has no
+      // organic URLs, so a deterministically messy URL is INJECTED per doc
+      // (the q_pii_scrub honest-fixture discipline); the operator is the
+      // real shape: pure codegen'd string work per row (lowercase
+      // scheme+host, strip :80, drop #fragment, drop utm_* params, sort
+      // the rest), then ONE exchange for the canonical-key dedup groupBy.
+      val url = concat(
+        lit("HTTP://WWW.Site"), pmod(col("doc_id"), lit(20)).cast("string"),
+        lit(".COM:80/p/"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit("?utm_source=feed&z="), pmod(col("doc_id"), lit(3)).cast("string"),
+        lit("&a="), pmod(col("doc_id"), lit(5)).cast("string"),
+        lit("&utm_campaign=x#sec"), col("doc_id").cast("string"))
+      t(s, dir, "documents")
+        .withColumn("url", url)
+        .withColumn("nofrag", regexp_replace(col("url"), "#.*$", ""))
+        .withColumn("pre",
+          regexp_replace(lower(substring_index(col("nofrag"), "?", 1)),
+            ":80/", "/"))
+        .withColumn("qs", array_join(array_sort(
+          filter(split(substring_index(col("nofrag"), "?", -1), "&"),
+            x => !x.startsWith("utm_"))), "&"))
+        .withColumn("canon_url",
+          when(col("qs") === "", col("pre"))
+            .otherwise(concat(col("pre"), lit("?"), col("qs"))))
+        .groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+    }),
+
+    "q_pmi_pairs" -> ((s, dir) => {
+      // PMI co-occurrence mining (word association / collocation
+      // extraction, Church & Hanks 1990) restricted to a BOUNDED
+      // vocabulary: top-64 document-frequency terms (TakeOrderedAndProject
+      // + broadcast semi-join), so the per-doc pair fan-out is ≤ C(64,2)
+      // by construction — linear in corpus size with a bounded constant,
+      // never all-pairs over an open vocabulary. PMI as integer bits with
+      // an explicit sign (floor-log2 of the ratio or its reciprocal — the
+      // bin-length trick, no float log). The pair join is a doc_id-keyed
+      // self equi-join of the ≤64-terms-per-doc relation.
+      val docs = fanOut(t(s, dir, "documents"))
+      val toks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
+        .distinct()
+      val topv = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(64)
+      val tfq = toks.join(broadcast(topv.select("w")), Seq("w"))
+      val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val c12 = tfq.as("a").join(tfq.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+        .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+        .agg(count(lit(1)).as("c12"))
+      c12
+        .join(broadcast(topv.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))
+        .join(broadcast(topv.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("pmi_bits", expr(
+          """CASE WHEN c12 * n_docs >= c1 * c2
+               THEN length(bin((c12 * n_docs) div (c1 * c2))) - 1
+               ELSE -(length(bin((c1 * c2) div (c12 * n_docs))) - 1)
+             END""").cast("long"))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+          col("pmi_bits"))
+    }),
+
     "q_kmv_intersect" -> ((s, dir) => {
       // KMV / theta sketch SET OPERATIONS (Beyer et al., SIGMOD 2007; the
       // DataSketches theta framework): per-language k-minimum-values
@@ -3425,6 +3490,46 @@ object SparkEntry {
            FROM cum)
          SELECT d.doc_id, d.lang, d.bpt_milli, c.bucket
          FROM d2 d JOIN cuts c USING (lang, bpt_milli)""",
+
+    "q_url_canon" ->
+      """WITH d AS (SELECT doc_id,
+             'HTTP://WWW.Site' || (doc_id % 20)::VARCHAR || '.COM:80/p/' ||
+             (doc_id % 7)::VARCHAR || '?utm_source=feed&z=' ||
+             (doc_id % 3)::VARCHAR || '&a=' || (doc_id % 5)::VARCHAR ||
+             '&utm_campaign=x#sec' || doc_id::VARCHAR AS url
+           FROM documents),
+         c AS (SELECT doc_id,
+             string_split(regexp_replace(url, '#.*$', '', 'g'), '?') AS seg
+           FROM d),
+         p AS (SELECT doc_id,
+             replace(lower(seg[1]), ':80/', '/') AS pre,
+             array_to_string(list_sort(list_filter(string_split(seg[2], '&'),
+               x -> NOT starts_with(x, 'utm_'))), '&') AS qs
+           FROM c)
+         SELECT CASE WHEN qs = '' THEN pre ELSE pre || '?' || qs END AS canon_url,
+           count(*)::BIGINT AS n, min(doc_id) AS keep_id
+         FROM p GROUP BY 1""",
+
+    "q_pmi_pairs" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, w FROM (
+             SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS w
+             FROM documents)),
+         vocab AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w),
+         topv AS (SELECT w, c FROM (
+             SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM vocab)
+           WHERE rk <= 64),
+         tfq AS (SELECT doc_id, w FROM toks WHERE w IN (SELECT w FROM topv)),
+         nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         cp AS (SELECT a.w AS w1, b.w AS w2, count(*)::BIGINT AS c12
+           FROM tfq a JOIN tfq b ON a.doc_id = b.doc_id AND a.w < b.w
+           GROUP BY 1, 2)
+         SELECT w1, w2, c12, t1.c AS c1, t2.c AS c2,
+           (CASE WHEN c12 * n_docs >= t1.c * t2.c
+              THEN length(bin((c12 * n_docs) // (t1.c * t2.c))) - 1
+              ELSE -(length(bin((t1.c * t2.c) // (c12 * n_docs))) - 1)
+            END)::BIGINT AS pmi_bits
+         FROM cp JOIN topv t1 ON cp.w1 = t1.w JOIN topv t2 ON cp.w2 = t2.w
+         CROSS JOIN nd""",
 
     "q_kmv_intersect" ->
       s"""WITH docs AS (SELECT lang, string_split_regex(trim(text), ' +') AS w

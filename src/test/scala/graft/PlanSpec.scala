@@ -306,6 +306,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("url canonicalization: one exchange (the canonical-key dedup " +
+    "groupBy, partial-agg'd) — the string work is all narrow") {
+    val p = planOf("q_url_canon")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("pmi pairs: vocabulary bounded via TakeOrderedAndProject + " +
+    "broadcast semi; the pair join is a doc-keyed equi-join (never " +
+    "all-pairs over an open vocabulary)") {
+    val p = planOf("q_pmi_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("kmv theta sketch: per-lang bottom-k is the bounded ObjectHashAggregate " +
     "(no window over the distinct-hash stream); distinct partial-combines; " +
     "only the |langs|-row sketch dimension nested-loops") {
