@@ -1975,6 +1975,39 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("bpt_milli"), col("bucket"))
     }),
 
+    "q_priority_sample" -> ((s, dir) => {
+      // PRIORITY SAMPLING (Duffield, Lund & Thorup, JACM 2007) — the
+      // weight-proportional fixed-size-k sample with the canonical
+      // threshold estimator: priority q_i = w_i / u_i, keep the top k,
+      // τ = the (k+1)-th priority, ŵ_i = max(w_i, τ) so Σŵ estimates the
+      // corpus total weight from k rows (the EDBT 2023 weighted-sampling
+      // family's batch core). DETERMINISTIC: u_i is the doc's portable
+      // fingerprint mapped into [1, M] — membership reproducible on any
+      // engine — and priorities are BIGINTs scaled by M (τ/M floors in the
+      // estimator: documented integer approximation, same floor both
+      // engines). Plan: priorities are narrow; both the top-(k+1) and the
+      // τ election are TakeOrderedAndProject (per-partition heaps) — NO
+      // window anywhere, so nothing funnels one task at scale.
+      TextFingerprint.register(s)
+      val k = 50
+      val pri = t(s, dir, "documents")
+        .withColumn("w", greatest(col("n_chars"), lit(1L)))
+        .withColumn("u",
+          call_function("text_fingerprint", col("text")) + 1L)
+        .withColumn("priority", expr("w * 1000000007 div u"))
+        .select(col("doc_id"), col("w"), col("priority"))
+      val top = pri.orderBy(col("priority").desc, col("doc_id")).limit(k + 1)
+      // τ = the LAST of the k+1 by the total order (ties broken by doc_id)
+      val tau = top.orderBy(col("priority").asc, col("doc_id").desc).limit(1)
+        .select(col("priority").as("tau_int"), col("doc_id").as("tau_id"))
+      top.crossJoin(broadcast(tau))
+        .filter(!(col("priority") === col("tau_int") &&
+          col("doc_id") === col("tau_id")))
+        .withColumn("w_est",
+          greatest(col("w"), expr("tau_int div 1000000007")))
+        .select(col("doc_id"), col("w"), col("priority"), col("w_est"))
+    }),
+
     "q_url_canon" -> ((s, dir) => {
       // URL CANONICALIZATION + dedup — the CommonCrawl-style crawl-hygiene
       // stage (two fetches of one page differ by scheme/host case, default
@@ -3490,6 +3523,25 @@ object SparkEntry {
            FROM cum)
          SELECT d.doc_id, d.lang, d.bpt_milli, c.bucket
          FROM d2 d JOIN cuts c USING (lang, bpt_milli)""",
+
+    "q_priority_sample" -> {
+      val fpText = oFp("text")
+      s"""WITH pri AS (SELECT doc_id, greatest(n_chars, 1)::BIGINT AS w,
+             (greatest(n_chars, 1)::BIGINT * 1000000007 // ($fpText + 1))::BIGINT AS priority
+           FROM documents),
+         top AS (SELECT doc_id, w, priority FROM (
+             SELECT doc_id, w, priority,
+               row_number() OVER (ORDER BY priority DESC, doc_id) AS rk FROM pri)
+           WHERE rk <= 51),
+         tau AS (SELECT priority AS tau_int, doc_id AS tau_id FROM (
+             SELECT doc_id, priority,
+               row_number() OVER (ORDER BY priority ASC, doc_id DESC) AS rk FROM top)
+           WHERE rk = 1)
+         SELECT doc_id, w, priority,
+           greatest(w, tau_int // 1000000007)::BIGINT AS w_est
+         FROM top CROSS JOIN tau
+         WHERE NOT (priority = tau_int AND doc_id = tau_id)"""
+    },
 
     "q_url_canon" ->
       """WITH d AS (SELECT doc_id,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.kernel.{Extractor, ExtractorContext}
 import graft.model.{ExtractConfig, ExtractedTurn, Turn}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured-Streaming face of the extraction engine.
@@ -156,6 +156,25 @@ object StreamingExtract {
         "leftOuter")
       .select(col("conv_id"), col("turn_idx"), col("ts"),
         col("fb_ts"), col("label"))
+  }
+
+  /** Continuous per-window TOP-K over the stream (the "continuous top-k
+    * over streaming data" shape, ICDE 2018): event-time tumbling windows ×
+    * group key, ranked by the bounded [[graft.functions.TopKAgg]] typed
+    * Aggregator — state per (window, key) is O(k) and a hot group ships
+    * ≤ k rows per map task, exactly the batch q_topk_agg discipline under
+    * micro-batch execution. Append mode: a window's top-k emits ONCE, when
+    * the watermark closes the window (the deterministic-under-replay
+    * contract). `idCol` must be castable to LONG (the Aggregator's id
+    * slot); ranking order is (score DESC, id ASC). */
+  def windowedTopK(extracted: Dataset[ExtractedTurn], idCol: Column,
+      scoreCol: Column, k: Int = 3): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(k),
+      graft.functions.TopKAgg.scoredEncoder)
+    extracted
+      .withWatermark("ts", "30 seconds")
+      .groupBy(window(col("ts"), "10 seconds"), col("tool"))
+      .agg(topk(idCol.cast("long"), scoreCol.cast("double")).as("top_ids"))
   }
 
   /** Windowed extraction metrics (the streaming analog of the snapshot

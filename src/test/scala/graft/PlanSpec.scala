@@ -306,6 +306,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("priority sampling: top-(k+1) and the tau election are both " +
+    "TakeOrderedAndProject (per-partition heaps) — window-free, priorities " +
+    "narrow") {
+    val p = planOf("q_priority_sample")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("url canonicalization: one exchange (the canonical-key dedup " +
     "groupBy, partial-agg'd) — the string work is all narrow") {
     val p = planOf("q_url_canon")

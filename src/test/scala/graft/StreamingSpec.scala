@@ -289,6 +289,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(totalChars == goldens.map(_.expText.length).sum)
   }
 
+  test("continuous windowed top-k: a window's top-k emits once, when the " +
+    "watermark closes it, ranked by (score DESC, id ASC)") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400L
+    // distinct turn_idx as the LONG identity; text length drives
+    // charsEmitted, hence the score order (idx 7 longest, then 3, then 9)
+    def turn(idx: Int, sec: Long, text: String) = graft.model.Turn(
+      "c1", idx, "user", text, "plain",
+      new java.sql.Timestamp((day + sec) * 1000L))
+    val stream = MemoryStream[graft.model.Turn]
+    val top = StreamingExtract.windowedTopK(
+      StreamingExtract.extract(spark, stream.toDS()),
+      org.apache.spark.sql.functions.col("turn_idx"),
+      org.apache.spark.sql.functions.col("charsEmitted"), k = 3)
+    val q = top.writeStream
+      .format("memory").queryName("win_topk")
+      .outputMode("append")
+      .start()
+
+    // four turns inside ONE 10s window — nothing emits while it is open
+    stream.addData(Seq(
+      turn(3, 1, "medium length text here"),
+      turn(7, 2, "the longest text of the whole window by a margin"),
+      turn(9, 3, "short text"),
+      turn(4, 4, "tiny")))
+    q.processAllAvailable()
+    def rows() = spark.table("win_topk")
+      .select("tool", "top_ids").as[(String, Seq[Long])].collect().toVector
+    assert(rows().isEmpty, "open window must not emit in append mode")
+
+    // advance the watermark past window-end + delay → the window closes
+    stream.addData(Seq(turn(99, 300, "watermark advancer")))
+    q.processAllAvailable()
+    stream.addData(Seq.empty[graft.model.Turn])
+    q.processAllAvailable()
+    val out = rows()
+    q.stop()
+    assert(out.size == 1, out.toString)
+    assert(out.head._2 == Seq(7L, 3L, 9L), out.toString)
+  }
+
   test("stream-stream join: feedback inside the horizon attaches, outside " +
     "doesn't, and an unmatched turn emits null-padded once the watermark " +
     "proves no match can arrive") {
