@@ -2042,19 +2042,26 @@ object SparkEntry {
     "q_pmi_pairs" -> ((s, dir) => {
       // PMI co-occurrence mining (word association / collocation
       // extraction, Church & Hanks 1990) restricted to a BOUNDED
-      // vocabulary: top-64 document-frequency terms (TakeOrderedAndProject
-      // + broadcast semi-join), so the per-doc pair fan-out is ≤ C(64,2)
+      // vocabulary: top-32 document-frequency terms (TakeOrderedAndProject
+      // + broadcast semi-join), so the per-doc pair fan-out is ≤ C(32,2)
       // by construction — linear in corpus size with a bounded constant,
       // never all-pairs over an open vocabulary. PMI as integer bits with
       // an explicit sign (floor-log2 of the ratio or its reciprocal — the
       // bin-length trick, no float log). The pair join is a doc_id-keyed
       // self equi-join of the ≤64-terms-per-doc relation.
-      val docs = fanOut(t(s, dir, "documents"))
-      val toks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
-        .distinct()
-      val topv = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("w")).limit(64)
-      val tfq = toks.join(broadcast(topv.select("w")), Seq("w"))
+      // the distinct (doc, term) relation feeds the df model AND both pair
+      // sides — materialize it EAGERLY once (localCheckpoint, the q_tfidf
+      // discipline; a lazy persist measurably re-tokenizes per concurrent
+      // broadcast-build consumer because they all race the empty cache),
+      // derived as a groupBy so its one exchange is partial-agg'd
+      val tf = fanOut(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .select("doc_id", "w")
+        .localCheckpoint()
+      val topv = tf.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(32)
+      val tfq = tf.join(broadcast(topv.select("w")), Seq("w"))
       val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
       val c12 = tfq.as("a").join(tfq.as("b"),
           col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
@@ -3569,7 +3576,7 @@ object SparkEntry {
          vocab AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w),
          topv AS (SELECT w, c FROM (
              SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM vocab)
-           WHERE rk <= 64),
+           WHERE rk <= 32),
          tfq AS (SELECT doc_id, w FROM toks WHERE w IN (SELECT w FROM topv)),
          nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
          cp AS (SELECT a.w AS w1, b.w AS w2, count(*)::BIGINT AS c12
