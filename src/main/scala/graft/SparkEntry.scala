@@ -1975,6 +1975,55 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("bpt_milli"), col("bucket"))
     }),
 
+    "q_curate_e2e" -> ((s, dir) => {
+      // END-TO-END CURATION COMPOSITION — the user story as ONE Catalyst
+      // plan: hygiene gate (Gopher word-count / mean-word-length /
+      // stopword rules) → exact-dedup survivor election → hashed-
+      // classifier quality gate → reproducible split assignment. Every
+      // stage is an already-oracled operator of this engine; the point of
+      // the query is COMPOSABILITY — the optimizer sees the whole
+      // pipeline, pushes the narrow gate below everything, and the
+      // expensive stages (dedup groupBy, classifier aggregate) run only
+      // on gated survivors. Scale shape: gate narrow; survivor election a
+      // partial-agg'd min groupBy on the text hash; classifier model
+      // broadcast (4096 rows by construction); split a narrow map.
+      TextFingerprint.register(s)
+      val w = TF.tokens(col("text"))
+      val gated = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(w).cast("long").as("n_words"),
+          length(regexp_replace(trim(col("text")), " +", "")).cast("long")
+            .as("sum_wlen"),
+          TF.stopwordCount(col("text")).cast("long").as("n_stop"))
+        .withColumn("mwl_milli", expr("sum_wlen * 1000 div n_words"))
+        .filter(col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mwl_milli") >= 3000 && col("mwl_milli") <= 10000 &&
+          col("n_stop") >= 2)
+      val survivor = gated
+        .groupBy(md5(col("text")).as("th"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      val model = s.range(0, 4096).select(
+        col("id").as("fid"),
+        (pmod(call_function("text_fingerprint",
+          concat(lit("w#"), col("id").cast("string"))), lit(17L)) - 8L).as("wt"))
+      val logit = gated
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          pmod(call_function("text_fingerprint", col("tok")), lit(4096L)).as("fid"))
+        .join(broadcast(model), Seq("fid"))
+        .groupBy("doc_id").agg(sum(col("wt")).as("logit"))
+      val pct = pmod(call_function("text_fingerprint",
+        col("doc_id").cast("string")), lit(100L))
+      gated
+        .join(survivor.select(col("keep_id").as("doc_id")), Seq("doc_id"),
+          "left_semi")
+        .join(logit, Seq("doc_id"))
+        .filter(col("logit") > 0)
+        .select(col("doc_id"), col("lang"), col("logit"),
+          when(pct < 80, "train").when(pct < 90, "val")
+            .otherwise("test").as("split"))
+    }),
+
     "q_priority_sample" -> ((s, dir) => {
       // PRIORITY SAMPLING (Duffield, Lund & Thorup, JACM 2007) — the
       // weight-proportional fixed-size-k sample with the canonical
@@ -3530,6 +3579,34 @@ object SparkEntry {
            FROM cum)
          SELECT d.doc_id, d.lang, d.bpt_milli, c.bucket
          FROM d2 d JOIN cuts c USING (lang, bpt_milli)""",
+
+    "q_curate_e2e" -> {
+      val wfp = oFpBody.format("('w#' || fi::VARCHAR)", "('w#' || fi::VARCHAR)")
+      val pct = s"((${oFpBody.format("cast(doc_id AS VARCHAR)", "cast(doc_id AS VARCHAR)")} % 100) + 100) % 100"
+      s"""WITH g0 AS (SELECT doc_id, lang, text,
+             len(string_split_regex(trim(text), ' +'))::BIGINT AS n_words,
+             length(regexp_replace(trim(text), ' +', '', 'g'))::BIGINT AS sum_wlen,
+             len(list_filter(string_split_regex(trim(text), ' +'),
+               x -> list_contains($oStop, x)))::BIGINT AS n_stop
+           FROM documents),
+         g AS (SELECT doc_id, lang, text FROM (
+             SELECT g0.*, (sum_wlen * 1000 // n_words)::BIGINT AS mwl FROM g0)
+           WHERE n_words >= 50 AND n_words <= 100000
+             AND mwl >= 3000 AND mwl <= 10000 AND n_stop >= 2),
+         surv AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+         model AS (SELECT fi AS fid, (($wfp % 17) - 8)::BIGINT AS wt
+           FROM (SELECT unnest(generate_series(0, 4095))::BIGINT AS fi)),
+         feats AS (SELECT doc_id, ${oFp("tok")} % 4096 AS fid FROM (
+             SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+             FROM g)),
+         lg AS (SELECT doc_id, sum(wt)::BIGINT AS logit
+           FROM feats JOIN model USING (fid) GROUP BY doc_id)
+         SELECT g.doc_id, g.lang, lg.logit,
+           CASE WHEN $pct < 80 THEN 'train'
+                WHEN $pct < 90 THEN 'val' ELSE 'test' END AS split
+         FROM g JOIN surv USING (doc_id) JOIN lg USING (doc_id)
+         WHERE lg.logit > 0"""
+    },
 
     "q_priority_sample" -> {
       val fpText = oFp("text")

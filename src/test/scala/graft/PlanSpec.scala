@@ -306,6 +306,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("curation composition: the gate filter reaches the scan once for " +
+    "every stage, the classifier model broadcasts, survivor election " +
+    "partial-combines — one optimizer-visible pipeline, no cartesian") {
+    val p = planOf("q_curate_e2e")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
+
   test("priority sampling: top-(k+1) and the tau election are both " +
     "TakeOrderedAndProject (per-partition heaps) — window-free, priorities " +
     "narrow") {
