@@ -1975,6 +1975,62 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("bpt_milli"), col("bucket"))
     }),
 
+    "q_profile" -> ((s, dir) => {
+      // COLUMN PROFILING (the Deequ/Great-Expectations "profile" op): per
+      // column — null count, exact distinct, lexicographic min/max — in
+      // ONE scan: a single global aggregate (multiple distinct aggregates
+      // expand to Spark's multi-distinct plan, still one pass over the
+      // data) unpivoted to long form with stack(). At 100 TB the exact
+      // distincts would swap to the HLL/KMV sketches above — this is the
+      // exact face; the plan shape (one scan, bounded output) is the same.
+      t(s, dir, "documents").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("null_doc_id"),
+          countDistinct(col("doc_id")).as("dist_doc_id"),
+          min(col("doc_id").cast("string")).as("min_doc_id"),
+          max(col("doc_id").cast("string")).as("max_doc_id"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L)).as("null_lang"),
+          countDistinct(col("lang")).as("dist_lang"),
+          min(col("lang")).as("min_lang"), max(col("lang")).as("max_lang"),
+          sum(when(col("source").isNull, 1L).otherwise(0L)).as("null_source"),
+          countDistinct(col("source")).as("dist_source"),
+          min(col("source")).as("min_source"), max(col("source")).as("max_source"),
+          sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("null_n_chars"),
+          countDistinct(col("n_chars")).as("dist_n_chars"),
+          min(col("n_chars").cast("string")).as("min_n_chars"),
+          max(col("n_chars").cast("string")).as("max_n_chars"))
+        .selectExpr("""stack(4,
+            'doc_id', null_doc_id, dist_doc_id, min_doc_id, max_doc_id,
+            'lang', null_lang, dist_lang, min_lang, max_lang,
+            'n_chars', null_n_chars, dist_n_chars, min_n_chars, max_n_chars,
+            'source', null_source, dist_source, min_source, max_source)
+          AS (column_name, n_null, n_distinct, min_val, max_val)""", "n")
+    }),
+
+    "q_dq_checks" -> ((s, dir) => {
+      // DATA-QUALITY ASSERTIONS (the Deequ "verification suite" op): each
+      // check is a violation COUNT folded in the same single-pass global
+      // aggregate, emitted as (check, observed, passed) rows — the gate a
+      // production ingest runs before committing a snapshot. Violation
+      // counting (not just a boolean) is what makes the failure actionable.
+      t(s, dir, "documents").agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("dist_id"),
+          sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+            .as("bad_len"),
+          sum(when(!col("lang").isin("en", "fr", "es", "de", "zh"), 1L)
+            .otherwise(0L)).as("bad_lang"),
+          sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+            .otherwise(0L)).as("bad_text"))
+        .selectExpr("""stack(4,
+            'doc_id_unique', n - dist_id,
+            'n_chars_consistent', bad_len,
+            'lang_in_domain', bad_lang,
+            'text_nonempty', bad_text)
+          AS (check_name, observed)""")
+        .withColumn("passed", col("observed") === 0L)
+    }),
+
     "q_curate_e2e" -> ((s, dir) => {
       // END-TO-END CURATION COMPOSITION — the user story as ONE Catalyst
       // plan: hygiene gate (Gopher word-count / mean-word-length /
@@ -3579,6 +3635,48 @@ object SparkEntry {
            FROM cum)
          SELECT d.doc_id, d.lang, d.bpt_milli, c.bucket
          FROM d2 d JOIN cuts c USING (lang, bpt_milli)""",
+
+    "q_profile" ->
+      """WITH m AS (SELECT count(*)::BIGINT AS n FROM documents)
+         SELECT * FROM (
+           SELECT 'doc_id' AS column_name,
+             sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+             count(DISTINCT doc_id)::BIGINT AS n_distinct,
+             min(doc_id::VARCHAR) AS min_val, max(doc_id::VARCHAR) AS max_val,
+             (SELECT n FROM m) AS n
+           FROM documents
+           UNION ALL
+           SELECT 'lang',
+             sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             count(DISTINCT lang)::BIGINT, min(lang), max(lang),
+             (SELECT n FROM m)
+           FROM documents
+           UNION ALL
+           SELECT 'n_chars',
+             sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             count(DISTINCT n_chars)::BIGINT,
+             min(n_chars::VARCHAR), max(n_chars::VARCHAR),
+             (SELECT n FROM m)
+           FROM documents
+           UNION ALL
+           SELECT 'source',
+             sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             count(DISTINCT source)::BIGINT, min(source), max(source),
+             (SELECT n FROM m)
+           FROM documents)""",
+
+    "q_dq_checks" ->
+      """WITH a AS (SELECT count(*)::BIGINT AS n,
+             count(DISTINCT doc_id)::BIGINT AS dist_id,
+             sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)::BIGINT AS bad_len,
+             sum(CASE WHEN lang NOT IN ('en','fr','es','de','zh') THEN 1 ELSE 0 END)::BIGINT AS bad_lang,
+             sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)::BIGINT AS bad_text
+           FROM documents)
+         SELECT check_name, observed, (observed = 0) AS passed FROM (
+           SELECT 'doc_id_unique' AS check_name, (n - dist_id)::BIGINT AS observed FROM a
+           UNION ALL SELECT 'n_chars_consistent', bad_len FROM a
+           UNION ALL SELECT 'lang_in_domain', bad_lang FROM a
+           UNION ALL SELECT 'text_nonempty', bad_text FROM a)""",
 
     "q_curate_e2e" -> {
       val wfp = oFpBody.format("('w#' || fi::VARCHAR)", "('w#' || fi::VARCHAR)")

@@ -306,6 +306,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("profile + dq checks: one scan each (a single global aggregate, " +
+    "multi-distinct expansion included), bounded output, partial-agg'd") {
+    for (q <- Seq("q_profile", "q_dq_checks")) {
+      val p = planOf(q)
+      assert("Scan parquet".r.findAllIn(p).size == 1, s"$q: $p")
+      assert(p.contains("partial"), p)
+    }
+  }
+
   test("curation composition: the gate filter reaches the scan once for " +
     "every stage, the classifier model broadcasts, survivor election " +
     "partial-combines — one optimizer-visible pipeline, no cartesian") {
