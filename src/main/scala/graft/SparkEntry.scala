@@ -1661,15 +1661,16 @@ object SparkEntry {
         .filter(col("w").isin(terms: _*))
       val tf = toks.groupBy(col("doc_id"), col("w"))
         .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+      // dfreq's broadcast build re-runs the (cheap, term-filtered) tf
+      // stage — Catalyst cannot reuse a stage across a broadcast-exchange
+      // boundary. Deliberate: at scale the alternative (checkpointing tf)
+      // WRITES the posting-list aggregate to buy back one narrow filtered
+      // pass, a loss whenever the query set is selective — and it would
+      // hide the isin-pushdown shape this query is the PlanSpec witness for.
       val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val totals = t(s, dir, "documents").agg(
         count(lit(1)).as("n_docs"),
         sum(size(TF.tokens(col("text")))).cast("long").as("sum_dl"))
-      // Two consumers (top-k election + score attach): materialize once —
-      // same multi-consumer-intermediate discipline as q_tfidf_topterms,
-      // as persist() here (the per-(qid,doc) aggregate is bounded by the
-      // query set's posting lists, far smaller than the corpus) so the
-      // full plan stays visible to PlanSpec's shape assertions.
       val scored = tf
         .join(broadcast(dfreq), Seq("w"))
         .join(broadcast(qterms), Seq("w"))
@@ -1683,19 +1684,19 @@ object SparkEntry {
         .withColumn("tscore",
           expr("idf_bits * ((tf * 2200 * 1000) div den_milli)"))
         .groupBy(col("qid"), col("doc_id"))
-        .agg(count(lit(1)).as("n_hit"), sum(col("tscore")).as("score"))
-        .persist()
-      val topk = udaf(new graft.functions.TopKAgg(10),
+        .agg(sum(col("tscore")).as("score"))
+      // score-carrying top-k Aggregator: one pass, no rejoin to recover
+      // the score. score is BIGINT but < 2^53 by construction (tf,
+      // idf_bits bounded by document/corpus size in bits) — exact through
+      // the Aggregator's Double sort key, so the election order (and the
+      // round-trip back to long) matches the oracle window bit-for-bit.
+      val topk = udaf(new graft.functions.TopKScoredAgg(10),
         graft.functions.TopKAgg.scoredEncoder)
-      // score is BIGINT but < 2^53 by construction (tf, idf_bits bounded
-      // by document/corpus size in bits) — exact as the Aggregator's
-      // Double sort key, so the election order matches the oracle window.
-      val top = scored.groupBy(col("qid"))
-        .agg(topk(col("doc_id"), col("score").cast("double")).as("ids"))
-        .select(col("qid"), posexplode(col("ids")).as(Seq("rk", "doc_id")))
-      scored.join(broadcast(top), Seq("qid", "doc_id"))
-        .select(col("qid"), (col("rk") + 1).cast("int").as("rk"),
-          col("doc_id"), col("n_hit"), col("score"))
+      scored.groupBy(col("qid"))
+        .agg(topk(col("doc_id"), col("score").cast("double")).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("rk0", "t")))
+        .select(col("qid"), (col("rk0") + 1).cast("int").as("rk"),
+          col("t.id").as("doc_id"), col("t.score").cast("long").as("score"))
     }),
 
     "q_dsir_weight" -> ((s, dir) => {
@@ -3504,7 +3505,7 @@ object SparkEntry {
          tot AS (SELECT count(*)::BIGINT AS n_docs,
              sum(len(string_split_regex(trim(text), ' +')))::BIGINT AS sum_dl
            FROM documents),
-         sc AS (SELECT qid, doc_id, count(*)::BIGINT AS n_hit,
+         sc AS (SELECT qid, doc_id,
              sum(tscore)::BIGINT AS score FROM (
              SELECT q.qid, tf.doc_id,
                (length(bin(n_docs // df)) - 1)::BIGINT *
@@ -3512,10 +3513,10 @@ object SparkEntry {
                    (1200 * (250 + (750 * (dl * 1000 * n_docs // sum_dl)) // 1000)) // 1000)) AS tscore
              FROM tf JOIN dfreq USING (w) JOIN q ON tf.w = q.w CROSS JOIN tot)
            GROUP BY qid, doc_id),
-         ranked AS (SELECT qid, doc_id, n_hit, score,
+         ranked AS (SELECT qid, doc_id, score,
              row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
            FROM sc)
-         SELECT qid, rk::INT AS rk, doc_id, n_hit, score
+         SELECT qid, rk::INT AS rk, doc_id, score
          FROM ranked WHERE rk <= 10""",
 
     "q_dsir_weight" -> {

@@ -34,3 +34,21 @@ final class TopKAgg(k: Int) extends Aggregator[TopKAgg.Scored, TopKAgg.Buf, Seq[
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
+
+/** [[TopKAgg]] that keeps the SCORE with each id in the output — for
+  * consumers that need the ranked values too (q_bm25's relevance scores),
+  * saving the rejoin-to-recover-score pass the id-only form forces. Same
+  * O(k) buffer, same (score DESC, id ASC) total order. */
+final class TopKScoredAgg(k: Int)
+    extends Aggregator[TopKAgg.Scored, TopKAgg.Buf, Seq[TopKAgg.Scored]] {
+  import TopKAgg._
+  private def prune(items: Seq[Scored]): Seq[Scored] =
+    items.sortBy(s => (-s.score, s.id)).take(k)
+  override def zero: Buf = Buf(Vector.empty)
+  override def reduce(b: Buf, a: Scored): Buf = Buf(prune(b.items :+ a))
+  override def merge(x: Buf, y: Buf): Buf = Buf(prune(x.items ++ y.items))
+  override def finish(b: Buf): Seq[Scored] = prune(b.items)
+  override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+  override def outputEncoder: Encoder[Seq[Scored]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+}
