@@ -107,10 +107,10 @@ object SparkEntry {
     * over scaled-integer vectors; see q_knn_ivf). IvfMaxTrain bounds the
     * driver-side training sample (FAISS-style); it exceeds every test SF's
     * vector count, so the oracle's full-set training matches exactly. */
-  private val IvfK = 16
-  private val IvfIters = 3
-  private val IvfScale = 1000000.0
-  private val IvfMaxTrain = 65536L
+  private[graft] val IvfK = 16
+  private[graft] val IvfIters = 3
+  private[graft] val IvfScale = 1000000.0
+  private[graft] val IvfMaxTrain = 65536L
 
   /** IVF ANN with a TRAINED coarse quantizer (q_knn_ivf body): deterministic
     * Lloyd's k-means (k=IvfK, IvfIters iterations, init = first k vectors)
@@ -174,7 +174,7 @@ object SparkEntry {
     * (q_knn_ivf, q_semantic_dedup): qv[i] = floor(x·IvfScale + 0.5), making
     * training/assignment arithmetic integer-exact and order-independent —
     * bit-reproducible in the DuckDB oracle. */
-  private def ivfQuantized(e: DataFrame): DataFrame =
+  private[graft] def ivfQuantized(e: DataFrame): DataFrame =
     e.withColumn("qv",
       transform(col("embedding"), x => floor(x.cast("double") * IvfScale + lit(0.5))))
 
@@ -198,7 +198,7 @@ object SparkEntry {
     * training matches bit-for-bit). Integer sq-dists, lexicographic
     * (d2, cent_id) argmin, floored means (exact: |sum| < 2^53 so the double
     * division's input is exact), empty clusters dropped. */
-  private def ivfTrainCentroids(s: SparkSession, qz: DataFrame): DataFrame = {
+  private[graft] def ivfTrainCentroids(s: SparkSession, qz: DataFrame): DataFrame = {
     import s.implicits._
     val trainRows = ivfTrainSample(s, qz)
     val train = trainRows.map(_._2.toArray)
