@@ -24,7 +24,8 @@ object PlanDump {
       "q_ratio_match", "q_unigram_lm", "q_pii_scrub", "q_dedup_incremental",
       "q_semantic_dedup", "q_dedup_survivor", "q_knn_pq", "q_skew_join",
       "q_topk_agg", "q_bm25", "q_dsir_weight", "q_bigram_lm",
-      "q_kmv_intersect", "q_priority_sample", "q_pmi_pairs", "q_funnel")
+      "q_kmv_intersect", "q_priority_sample", "q_pmi_pairs", "q_funnel",
+      "q_curate_e2e")
     val sb = new StringBuilder
     sb.append("# BENCH/PLANS — formatted physical plans (auto-written by graft.tools.PlanDump)\n\n")
     sb.append("Source of truth for these shapes is `PlanSpec` (asserted in CI);\n")
