@@ -1,7 +1,8 @@
 package graft
 
-import graft.functions.{OrderedConcatAgg, SpanTextAgg}
+import graft.functions.{OrderedConcatAgg, SpanTextAgg, TopKAgg, TopKScoredAgg}
 import graft.model.Span
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -48,5 +49,27 @@ class AggregatorSpec extends AnyFunSuite with SparkTestBase {
     val right = a.reduce(a.zero, Line(2, "m"))
     assert(a.finish(a.merge(left, right)) == a.finish(a.merge(right, left)))
     assert(a.finish(a.merge(left, right)) == "1a,2m,3z")
+  }
+
+  test("TopKAgg / TopKScoredAgg algebra: buffer pruned to k on every " +
+    "reduce and merge, merge order-insensitive, (score DESC, id ASC) " +
+    "total order, scored variant carries the scores") {
+    import TopKAgg._
+    val ids = new TopKAgg(2)
+    val scored = new TopKScoredAgg(2)
+    val items = Seq(Scored(5, 1.0), Scored(3, 9.0), Scored(4, 9.0),
+      Scored(1, 2.0), Scored(9, 9.0))
+    val (l, r) = items.splitAt(2)
+    def fold(a: Aggregator[Scored, Buf, _], xs: Seq[Scored]): Buf =
+      xs.foldLeft(a.asInstanceOf[Aggregator[Scored, Buf, Any]].zero)(
+        (b, x) => a.asInstanceOf[Aggregator[Scored, Buf, Any]].reduce(b, x))
+    val bl = fold(ids, l); val br = fold(ids, r)
+    assert(bl.items.size <= 2 && br.items.size <= 2, "buffer must stay O(k)")
+    assert(ids.finish(ids.merge(bl, br)) == ids.finish(ids.merge(br, bl)))
+    // ties on score 9.0 break ascending id: 3 then 4 (9 pruned)
+    assert(ids.finish(ids.merge(bl, br)) == Seq(3L, 4L))
+    val sl = fold(scored, l); val sr = fold(scored, r)
+    assert(scored.finish(scored.merge(sl, sr)) ==
+      Seq(Scored(3, 9.0), Scored(4, 9.0)))
   }
 }
