@@ -2490,6 +2490,57 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    "q_bpe_train" -> ((s, dir) => {
+      // BPE merge-rule TRAINING (Sennrich et al. 2016, "Neural Machine
+      // Translation of Rare Words with Subword Units") — tokenizer
+      // training as a relational job, the capability behind q_token_bpe's
+      // fixed regex segmentation. Scale shape: the corpus is touched ONCE
+      // (the word-histogram groupBy — the only corpus-sized shuffle); the
+      // 4 merge rounds iterate on the top-256 word histogram, bounded BY
+      // CONSTRUCTION like the other broadcast models here, and unroll
+      // into one lazy Catalyst plan: each round is a vocab-sized pair
+      // aggregate + TakeOrderedAndProject(1) + a broadcast of the single
+      // winning pair — training never revisits the corpus, which is what
+      // makes tokenizer training feasible at 100 TB. Ties break
+      // lexicographically on (l, r).
+      //
+      // Symbol sequences ride as DOUBLE-space-delimited strings
+      // ("  a  b  "): greedy leftmost merge application is then literally
+      // replace(seq, ' l  r ', ' lr ') — left-to-right non-overlapping
+      // string replace has exactly BPE's merge semantics, identically in
+      // Spark and DuckDB. Each boundary donates one of its two spaces to
+      // the match, so a replaced pair's neighbors stay matchable
+      // ("a b a b" → "(ab) (ab)") while overlap is consumed
+      // ("l l l" → "(ll) l"), and the invariant is restored by the
+      // replacement's outer single spaces.
+      val words = fanOut(t(s, dir, "documents"))
+        .select(explode(TF.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).cast("long").as("wc"))
+        .orderBy(col("wc").desc, col("w")).limit(256)
+      var seqs = words.select(col("wc"),
+        concat(regexp_replace(col("w"), "(.)", "  $1"), lit("  ")).as("seq"))
+      val rounds = (1 to 4).map { r =>
+        val pairs = seqs
+          .select(col("wc"),
+            expr("filter(split(seq, '  '), x -> x != '')").as("tk"))
+          .select(col("wc"), explode(expr(
+            "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
+              "(a, b) -> struct(a AS l, b AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("wc")).cast("long").as("pair_count"))
+        val best = pairs
+          .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
+        seqs = seqs
+          .crossJoin(broadcast(best.select(col("l").as("_l"), col("r").as("_r"))))
+          .select(col("wc"), expr(
+            "replace(seq, ' ' || _l || '  ' || _r || ' ', ' ' || _l || _r || ' ')")
+            .as("seq"))
+        best.select(lit(r).as("merge_round"), col("l"), col("r"),
+          concat(col("l"), col("r")).as("merged"), col("pair_count"))
+      }
+      rounds.reduce(_.unionByName(_))
+    }),
+
     // -------------------------------------------------- extraction engine
     // The kernels have no SQL re-derivation, but ALL six queries now carry
     // FULL hash oracles anyway: flagship/spans/sql_extract/fields/
@@ -3914,6 +3965,44 @@ object SparkEntry {
     },
 
     "q_langid_eval" -> oLangIdEval,
+
+    "q_bpe_train" -> {
+      // One merge round = three CTEs: pN counts adjacent symbol pairs over
+      // the current sequences (unnest-in-SELECT position fan-out, the
+      // q_bigram_lm pattern), mN is the argmax with the lexicographic
+      // tie-break, wN applies the merge with the SAME double-space
+      // replace as the Spark side (literal replace is leftmost
+      // non-overlapping in both engines — BPE's greedy semantics).
+      def round(n: Int): String = {
+        val prev = s"w${n - 1}"
+        s"""p$n AS (SELECT tk[i] AS l, tk[i + 1] AS r, sum(wc)::BIGINT AS pair_count
+              FROM (SELECT wc, tk, unnest(generate_series(1, len(tk) - 1))::BIGINT AS i
+                    FROM (SELECT wc, list_filter(string_split(seq, '  '),
+                                                 x -> x <> '') AS tk
+                          FROM $prev))
+              GROUP BY 1, 2),
+            m$n AS (SELECT l, r, pair_count FROM p$n
+              ORDER BY pair_count DESC, l, r LIMIT 1),
+            w$n AS (SELECT wc,
+                replace(seq, ' ' || m.l || '  ' || m.r || ' ',
+                             ' ' || m.l || m.r || ' ') AS seq
+              FROM $prev, m$n m)"""
+      }
+      s"""WITH toks AS (SELECT unnest(string_split_regex(trim(text), ' +')) AS w
+           FROM documents),
+         hist AS (SELECT w, count(*)::BIGINT AS wc FROM toks GROUP BY w),
+         topw AS (SELECT w, wc FROM (
+             SELECT w, wc, row_number() OVER (ORDER BY wc DESC, w) AS rk FROM hist)
+           WHERE rk <= 256),
+         w0 AS (SELECT wc, regexp_replace(w, '(.)', '  \\1', 'g') || '  ' AS seq
+           FROM topw),
+         ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}
+         SELECT * FROM (
+           SELECT 1 AS merge_round, l, r, l || r AS merged, pair_count FROM m1
+           UNION ALL SELECT 2, l, r, l || r, pair_count FROM m2
+           UNION ALL SELECT 3, l, r, l || r, pair_count FROM m3
+           UNION ALL SELECT 4, l, r, l || r, pair_count FROM m4)"""
+    },
 
     "x_lang_id" -> oLangIdPerDoc
   )

@@ -398,6 +398,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("BPE training: corpus feeds ONE word-histogram aggregate; the 4 " +
+    "unrolled merge rounds run on the 256-word bound (TakeOrderedAndProject " +
+    "heaps for the bound and each argmax, 1-row broadcasts for the winning " +
+    "pair) — window-free, no cartesian, no sort-merge") {
+    val p = planOf("q_bpe_train")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("PII scrub is a narrow per-row map — zero exchanges") {
     val p = planOf("q_pii_scrub")
     assert(!p.contains("Exchange"), p)
