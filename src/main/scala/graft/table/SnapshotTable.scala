@@ -329,6 +329,43 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     replaceWhere(spark, convIds, spark.emptyDataset[ExtractedTurn], runId)
   }
 
+  /** Keyed UPSERT (the Iceberg `MERGE INTO … WHEN MATCHED UPDATE / WHEN NOT
+    * MATCHED INSERT` analog on the table key `(conv_id, turn_idx)`): rows in
+    * `updates` replace same-key rows where they exist and insert otherwise.
+    * Unlike [[replaceWhere]] (whole-conversation granularity, caller decides
+    * the targets), merge derives the touched buckets FROM the update set and
+    * preserves every non-matching row of those buckets — the "late
+    * correction lands in an existing conversation" flow.
+    *
+    * Scale shape: the update set is the small side by assumption; survivors
+    * are read from the touched buckets ONLY (O(updates), not O(table)) and
+    * anti-joined against the distinct update keys. Multiple update rows for
+    * one key are rejected up front — Iceberg MERGE's cardinality rule; a
+    * nondeterministic "one of them wins" would poison the table silently.
+    * Crash-safe under the data-first → manifest → CURRENT protocol; every
+    * untouched bucket's files stay byte-identical in the new snapshot. */
+  def merge(spark: SparkSession, updates: Dataset[ExtractedTurn],
+      runId: String): Option[Long] = {
+    import spark.implicits._
+    val dups = updates.groupBy(col("conv_id"), col("turn_idx"))
+      .count().filter(col("count") > 1).limit(1).collect()
+    require(dups.isEmpty,
+      s"merge updates contain multiple rows for key (${dups.head.get(0)}, " +
+        s"${dups.head.get(1)}) — one row per (conv_id, turn_idx) required")
+    val buckets = updates.toDF().select(bucketOf.as("b")).distinct()
+      .as[Int].collect().toSet
+    require(buckets.nonEmpty, "merge with an empty update set")
+    val entries = committedEntries(spark).filter(e => buckets(e.bucket))
+    val keys = updates.select(col("conv_id"), col("turn_idx")).distinct()
+    val survivors =
+      (if (entries.isEmpty) spark.emptyDataset[ExtractedTurn].toDF()
+       else spark.read.parquet(entries.map(_.path): _*))
+        .join(keys, Seq("conv_id", "turn_idx"), "left_anti")
+        .as[ExtractedTurn]
+    commit(spark, survivors.unionByName(updates), runId,
+      replaceBuckets = true, forceReplace = buckets)
+  }
+
   /** Bucket-layout EVOLUTION (the Iceberg partition-spec-evolution analog):
     * rewrite the live snapshot at a new bucket count — the operation a
     * growing table needs when the count chosen at day one stops matching

@@ -311,6 +311,57 @@ class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
       table.replaceWhere(spark, Seq(convId), stray, runId = "runBad"))
   }
 
+  test("merge: keyed upsert updates matched rows and inserts new ones, " +
+    "rewrites only owning buckets, refuses duplicate update keys") {
+    import testImplicits._
+    val dir = Files.createTempDirectory("snap").toString
+    val table = new SnapshotTable(dir, numBuckets = 8)
+    val turns = TranscriptGen.dataset(spark, seed, 40, 80, partitions = 3)
+    ExtractJob.runIncremental(spark, table, turns, runId = "runFull")
+    val before = table.read(spark).select("conv_id", "turn_idx", "text")
+      .as[(String, Int, String)].collect().sorted
+    val filesBefore = table.committedEntries(spark).map(e =>
+      e.bucket -> spark.read.parquet(e.path).inputFiles.sorted.toSeq).toMap
+
+    // the "late correction" flow: one existing turn corrected, one brand-new
+    // turn appended to the same conversation — a single-bucket merge
+    val convId = "conv000007"
+    val b = table.bucketOfId(convId)
+    val base = ExtractPipeline.extract(spark,
+      turns.where(col("conv_id") === convId).as[graft.model.Turn])
+    val maxIdx = base.agg(max(col("turn_idx"))).as[Int].head()
+    val updated = base.where(col("turn_idx") === 0)
+      .withColumn("text", lit("CORRECTED")).as[graft.model.ExtractedTurn]
+    val inserted = base.where(col("turn_idx") === 0)
+      .withColumn("turn_idx", lit(maxIdx + 1))
+      .withColumn("text", lit("APPENDED")).as[graft.model.ExtractedTurn]
+    val snap = table.merge(spark, updated.unionByName(inserted), runId = "runMerge")
+    assert(snap.contains(1L))
+
+    val after = table.read(spark).select("conv_id", "turn_idx", "text")
+      .as[(String, Int, String)].collect().sorted
+    assert(after.length == before.length + 1)
+    assert(after.contains((convId, 0, "CORRECTED")))
+    assert(after.contains((convId, maxIdx + 1, "APPENDED")))
+    // every row the merge didn't key on is unchanged
+    assert(after.filterNot(r => r._1 == convId && (r._2 == 0 || r._2 == maxIdx + 1))
+      .sameElements(before.filterNot(r => r._1 == convId && r._2 == 0)))
+    // untouched buckets still point at the ORIGINAL files
+    table.committedEntries(spark).filterNot(_.bucket == b).foreach { e =>
+      assert(e.runId == "runFull", s"bucket ${e.bucket} was rewritten")
+      assert(spark.read.parquet(e.path).inputFiles.sorted.toSeq == filesBefore(e.bucket))
+    }
+    assert(table.committedEntries(spark).find(_.bucket == b).get.runId == "runMerge")
+    // time travel: pre-merge snapshot serves the original row
+    val asOf0 = table.readAt(spark, 0L)
+      .where(col("conv_id") === convId && col("turn_idx") === 0)
+      .select("text").as[String].collect()
+    assert(asOf0.nonEmpty && asOf0.forall(_ != "CORRECTED"))
+    // Iceberg MERGE cardinality rule: two update rows for one key refused
+    assertThrows[IllegalArgumentException](
+      table.merge(spark, updated.unionByName(updated), runId = "runDup"))
+  }
+
   test("deleteConversations drops an emptied bucket from the manifest") {
     import testImplicits._
     val dir = Files.createTempDirectory("snap").toString
