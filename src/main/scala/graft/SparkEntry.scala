@@ -51,6 +51,41 @@ object SparkEntry {
     if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
 
+  /** BPE merge-rule training core shared by q_bpe_train / q_bpe_apply
+    * (Sennrich et al. 2016): word histogram (the only corpus-sized
+    * shuffle) bounded to its top 256 types, then 4 unrolled merge rounds
+    * over the bounded histogram. Returns one 1-row DataFrame per round
+    * with columns (l, r, pair_count) — the round's winning pair.
+    * Symbol sequences are DOUBLE-space-delimited strings so greedy
+    * leftmost merge application is a literal non-overlapping replace
+    * (identical semantics in Spark and DuckDB — see q_bpe_train's doc). */
+  private def bpeTrainRounds(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val words = fanOut(t(s, dir, "documents"))
+      .select(explode(TF.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("wc"))
+      .orderBy(col("wc").desc, col("w")).limit(256)
+    var seqs = words.select(col("wc"),
+      concat(regexp_replace(col("w"), "(.)", "  $1"), lit("  ")).as("seq"))
+    (1 to 4).map { _ =>
+      val pairs = seqs
+        .select(col("wc"),
+          expr("filter(split(seq, '  '), x -> x != '')").as("tk"))
+        .select(col("wc"), explode(expr(
+          "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
+            "(a, b) -> struct(a AS l, b AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).cast("long").as("pair_count"))
+      val best = pairs
+        .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
+      seqs = seqs
+        .crossJoin(broadcast(best.select(col("l").as("_l"), col("r").as("_r"))))
+        .select(col("wc"), expr(
+          "replace(seq, ' ' || _l || '  ' || _r || ' ', ' ' || _l || _r || ' ')")
+          .as("seq"))
+      best
+    }
+  }
+
   /** Flagship: full extraction pipeline over the deterministic transcript
     * corpus (gates → salted shuffle → kernels → order restore). */
   def entry(spark: SparkSession): DataFrame =
@@ -2513,32 +2548,41 @@ object SparkEntry {
       // ("a b a b" → "(ab) (ab)") while overlap is consumed
       // ("l l l" → "(ll) l"), and the invariant is restored by the
       // replacement's outer single spaces.
-      val words = fanOut(t(s, dir, "documents"))
-        .select(explode(TF.tokens(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).cast("long").as("wc"))
-        .orderBy(col("wc").desc, col("w")).limit(256)
-      var seqs = words.select(col("wc"),
-        concat(regexp_replace(col("w"), "(.)", "  $1"), lit("  ")).as("seq"))
-      val rounds = (1 to 4).map { r =>
-        val pairs = seqs
-          .select(col("wc"),
-            expr("filter(split(seq, '  '), x -> x != '')").as("tk"))
-          .select(col("wc"), explode(expr(
-            "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
-              "(a, b) -> struct(a AS l, b AS r))")).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("wc")).cast("long").as("pair_count"))
-        val best = pairs
-          .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
-        seqs = seqs
-          .crossJoin(broadcast(best.select(col("l").as("_l"), col("r").as("_r"))))
-          .select(col("wc"), expr(
-            "replace(seq, ' ' || _l || '  ' || _r || ' ', ' ' || _l || _r || ' ')")
-            .as("seq"))
-        best.select(lit(r).as("merge_round"), col("l"), col("r"),
+      bpeTrainRounds(s, dir).zipWithIndex.map { case (best, i) =>
+        best.select(lit(i + 1).as("merge_round"), col("l"), col("r"),
           concat(col("l"), col("r")).as("merged"), col("pair_count"))
-      }
-      rounds.reduce(_.unionByName(_))
+      }.reduce(_.unionByName(_))
+    }),
+
+    "q_bpe_apply" -> ((s, dir) => {
+      // BPE ENCODING with the merge table learned by [[bpeTrainRounds]] —
+      // the apply half of q_bpe_train (train + encode is the full
+      // tokenizer story). Scale shape: the 4 winning pairs collapse into
+      // ONE broadcast row; each document is then encoded by a NARROW
+      // codegen'd per-row lambda chain (per word: char expansion + the 4
+      // ordered merge replaces + subword count) — the corpus never
+      // shuffles to be encoded, and the only corpus-sized exchange in the
+      // whole plan is the training histogram. Merge rules apply in
+      // training order, BPE's encode contract.
+      val ruleRow = bpeTrainRounds(s, dir).zipWithIndex.map { case (m, i) =>
+        m.select(col("l").as(s"l${i + 1}"), col("r").as(s"r${i + 1}"))
+      }.reduce(_.crossJoin(_))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokens(col("text")).as("ws"))
+        .crossJoin(broadcast(ruleRow))
+        .withColumn("subw", expr(
+          """transform(ws, x -> size(filter(split(
+            |  replace(replace(replace(replace(
+            |    concat(regexp_replace(x, '(.)', '  $1'), '  '),
+            |    ' ' || l1 || '  ' || r1 || ' ', ' ' || l1 || r1 || ' '),
+            |    ' ' || l2 || '  ' || r2 || ' ', ' ' || l2 || r2 || ' '),
+            |    ' ' || l3 || '  ' || r3 || ' ', ' ' || l3 || r3 || ' '),
+            |    ' ' || l4 || '  ' || r4 || ' ', ' ' || l4 || r4 || ' '),
+            |  '  '), y -> y != '')))""".stripMargin))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          expr("aggregate(ws, 0L, (a, x) -> a + length(x))").as("n_chars"),
+          expr("aggregate(subw, 0L, (a, x) -> a + x)").as("n_subwords"))
     }),
 
     // -------------------------------------------------- extraction engine
@@ -2633,6 +2677,41 @@ object SparkEntry {
   private val oFpBody =
     "list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, length(%s)), i -> ord(substr(%s, i, 1))::BIGINT)), (h, cp) -> (h*31 + cp) %% 1000000007)"
   private def oFp(c: String): String = oFpBody.format(c, c)
+
+  /** BPE training chain shared by the q_bpe_train / q_bpe_apply oracles
+    * (ends with single-row CTEs `m1..m4(l, r, pair_count)` — the learned
+    * merges). One merge round = three CTEs: pN counts adjacent symbol
+    * pairs over the current sequences (unnest-in-SELECT fan-out, the
+    * q_bigram_lm pattern), mN is the argmax with the lexicographic
+    * tie-break, wN applies the merge with the SAME double-space literal
+    * replace as the Spark side (leftmost non-overlapping in both engines
+    * — BPE's greedy semantics). */
+  private def oBpeCtes: String = {
+    def round(n: Int): String = {
+      val prev = s"w${n - 1}"
+      s"""p$n AS (SELECT tk[i] AS l, tk[i + 1] AS r, sum(wc)::BIGINT AS pair_count
+            FROM (SELECT wc, tk, unnest(generate_series(1, len(tk) - 1))::BIGINT AS i
+                  FROM (SELECT wc, list_filter(string_split(seq, '  '),
+                                               x -> x <> '') AS tk
+                        FROM $prev))
+            GROUP BY 1, 2),
+          m$n AS (SELECT l, r, pair_count FROM p$n
+            ORDER BY pair_count DESC, l, r LIMIT 1),
+          w$n AS (SELECT wc,
+              replace(seq, ' ' || m.l || '  ' || m.r || ' ',
+                           ' ' || m.l || m.r || ' ') AS seq
+            FROM $prev, m$n m)"""
+    }
+    s"""toks AS (SELECT unnest(string_split_regex(trim(text), ' +')) AS w
+         FROM documents),
+       hist AS (SELECT w, count(*)::BIGINT AS wc FROM toks GROUP BY w),
+       topw AS (SELECT w, wc FROM (
+           SELECT w, wc, row_number() OVER (ORDER BY wc DESC, w) AS rk FROM hist)
+         WHERE rk <= 256),
+       w0 AS (SELECT wc, regexp_replace(w, '(.)', '  \\1', 'g') || '  ' AS seq
+         FROM topw),
+       ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}"""
+  }
 
   /** Winnowing selection re-derived in SQL (ends with
     * `chosen(doc_id, pos, fp)`): per-position k-gram hashes (direct O(k)
@@ -3966,43 +4045,36 @@ object SparkEntry {
 
     "q_langid_eval" -> oLangIdEval,
 
-    "q_bpe_train" -> {
-      // One merge round = three CTEs: pN counts adjacent symbol pairs over
-      // the current sequences (unnest-in-SELECT position fan-out, the
-      // q_bigram_lm pattern), mN is the argmax with the lexicographic
-      // tie-break, wN applies the merge with the SAME double-space
-      // replace as the Spark side (literal replace is leftmost
-      // non-overlapping in both engines — BPE's greedy semantics).
-      def round(n: Int): String = {
-        val prev = s"w${n - 1}"
-        s"""p$n AS (SELECT tk[i] AS l, tk[i + 1] AS r, sum(wc)::BIGINT AS pair_count
-              FROM (SELECT wc, tk, unnest(generate_series(1, len(tk) - 1))::BIGINT AS i
-                    FROM (SELECT wc, list_filter(string_split(seq, '  '),
-                                                 x -> x <> '') AS tk
-                          FROM $prev))
-              GROUP BY 1, 2),
-            m$n AS (SELECT l, r, pair_count FROM p$n
-              ORDER BY pair_count DESC, l, r LIMIT 1),
-            w$n AS (SELECT wc,
-                replace(seq, ' ' || m.l || '  ' || m.r || ' ',
-                             ' ' || m.l || m.r || ' ') AS seq
-              FROM $prev, m$n m)"""
-      }
-      s"""WITH toks AS (SELECT unnest(string_split_regex(trim(text), ' +')) AS w
-           FROM documents),
-         hist AS (SELECT w, count(*)::BIGINT AS wc FROM toks GROUP BY w),
-         topw AS (SELECT w, wc FROM (
-             SELECT w, wc, row_number() OVER (ORDER BY wc DESC, w) AS rk FROM hist)
-           WHERE rk <= 256),
-         w0 AS (SELECT wc, regexp_replace(w, '(.)', '  \\1', 'g') || '  ' AS seq
-           FROM topw),
-         ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}
+    "q_bpe_train" ->
+      s"""WITH $oBpeCtes
          SELECT * FROM (
            SELECT 1 AS merge_round, l, r, l || r AS merged, pair_count FROM m1
            UNION ALL SELECT 2, l, r, l || r, pair_count FROM m2
            UNION ALL SELECT 3, l, r, l || r, pair_count FROM m3
-           UNION ALL SELECT 4, l, r, l || r, pair_count FROM m4)"""
-    },
+           UNION ALL SELECT 4, l, r, l || r, pair_count FROM m4)""",
+
+    "q_bpe_apply" ->
+      s"""WITH $oBpeCtes,
+         rules AS (SELECT m1.l AS l1, m1.r AS r1, m2.l AS l2, m2.r AS r2,
+             m3.l AS l3, m3.r AS r3, m4.l AS l4, m4.r AS r4
+           FROM m1, m2, m3, m4),
+         enc AS (SELECT doc_id,
+             string_split_regex(trim(text), ' +') AS ws,
+             list_transform(string_split_regex(trim(text), ' +'),
+               x -> len(list_filter(string_split(
+                 replace(replace(replace(replace(
+                   regexp_replace(x, '(.)', '  \\1', 'g') || '  ',
+                   ' ' || l1 || '  ' || r1 || ' ', ' ' || l1 || r1 || ' '),
+                   ' ' || l2 || '  ' || r2 || ' ', ' ' || l2 || r2 || ' '),
+                   ' ' || l3 || '  ' || r3 || ' ', ' ' || l3 || r3 || ' '),
+                   ' ' || l4 || '  ' || r4 || ' ', ' ' || l4 || r4 || ' '),
+                 '  '), y -> y <> ''))::BIGINT) AS subw
+           FROM documents, rules)
+         SELECT doc_id, len(ws)::BIGINT AS n_words,
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(ws, x -> length(x)::BIGINT)), (a, x) -> a + x) AS n_chars,
+           list_reduce(list_prepend(0::BIGINT, subw), (a, x) -> a + x) AS n_subwords
+         FROM enc""",
 
     "x_lang_id" -> oLangIdPerDoc
   )

@@ -409,6 +409,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("BPE encoding: the learned rules collapse to ONE broadcast row and " +
+    "the corpus is encoded by a narrow per-row lambda chain — no window, " +
+    "no corpus-side sort-merge or cartesian; the only corpus-sized " +
+    "exchange is the training histogram") {
+    val p = planOf("q_bpe_apply")
+    assert(p.contains("TakeOrderedAndProject"), p) // training bound + argmax
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("PII scrub is a narrow per-row map — zero exchanges") {
     val p = planOf("q_pii_scrub")
     assert(!p.contains("Exchange"), p)
