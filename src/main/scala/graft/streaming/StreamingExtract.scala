@@ -124,6 +124,38 @@ object StreamingExtract {
         commitBatch(table, batch, batchId); ()
       }
 
+  /** Commit one micro-batch as a keyed UPSERT ([[graft.table.SnapshotTable.merge]])
+    * with the same replay-safe protocol as [[commitBatch]]: the batchId IS
+    * the runId; a re-delivered batch is detected via the manifest's runId
+    * lineage and skipped. Idempotence holds even though merge REWRITES
+    * buckets — the commit point is the atomic CURRENT swing, so a crash
+    * mid-merge leaves the previous snapshot live and the replay merges
+    * from that state. Empty batches cut no snapshot. */
+  def mergeBatch(table: graft.table.SnapshotTable,
+      batch: Dataset[ExtractedTurn], batchId: Long): Option[Long] = {
+    val spark = batch.sparkSession
+    val runId = s"stream-merge-$batchId"
+    if (table.committedEntries(spark).exists(_.runId == runId)) None
+    else if (batch.isEmpty) None
+    else table.merge(spark, batch, runId)
+  }
+
+  /** foreachBatch UPSERT sink — the CDC / late-correction ingest face:
+    * each micro-batch merges by (conv_id, turn_idx), so a corrected turn
+    * REPLACES the previously-landed row instead of appending a duplicate
+    * beside it (the append sink's contract). Use this when the upstream
+    * re-emits turns (editor corrections, kernel redeploys, at-least-once
+    * sources whose duplicates survive the watermark). */
+  def upsertSink(extracted: Dataset[ExtractedTurn],
+      table: graft.table.SnapshotTable,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[ExtractedTurn] =
+    extracted.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[ExtractedTurn], batchId: Long) =>
+        mergeBatch(table, batch, batchId); ()
+      }
+
   /** A feedback/annotation event arriving on its OWN stream (tool results,
     * human labels, safety verdicts) that must be attached to the turn it
     * annotates — the other half of the stream-stream join below. */

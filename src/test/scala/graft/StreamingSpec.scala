@@ -155,6 +155,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(table.currentSnapshotId == before)
   }
 
+  test("upsert sink: a late correction REPLACES the previously-landed turn " +
+    "(no duplicate beside it); replayed merge batches are no-ops") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_upsert").toString
+    val table = new graft.table.SnapshotTable(s"$dir/table", numBuckets = 4)
+    val turns = TranscriptGen.corpus(11L, nConvs = 10, hotBase = 20).toVector.map(_.turn)
+    val rows = graft.pipe.ExtractPipeline.extract(spark, turns.toDS()).collect().toSeq
+
+    val stream = MemoryStream[graft.model.ExtractedTurn]
+    val q = StreamingExtract.upsertSink(stream.toDS(), table, s"$dir/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    stream.addData(rows)
+    q.processAllAvailable()
+    // the late-correction batch: one turn corrected, one appended
+    val victim = rows.head
+    stream.addData(Seq(victim.copy(text = "CORRECTED"), victim.copy(turn_idx = 9999, text = "NEW")))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = table.read(spark).select("conv_id", "turn_idx", "text")
+      .as[(String, Int, String)].collect()
+    assert(out.length == rows.length + 1, "correction must replace, not append")
+    val m = out.map { case (c, i, t) => (c, i) -> t }.toMap
+    assert(m((victim.conv_id, victim.turn_idx)) == "CORRECTED")
+    assert(m((victim.conv_id, 9999)) == "NEW")
+    // every key the correction didn't touch is unchanged
+    rows.drop(1).foreach(r => assert(m((r.conv_id, r.turn_idx)) == r.text))
+
+    // replay safety: re-merging an already-merged batchId is a no-op
+    val before = table.currentSnapshotId
+    assert(StreamingExtract.mergeBatch(table,
+      Seq(victim.copy(text = "CORRECTED")).toDS(), batchId = 1L).isEmpty)
+    assert(table.currentSnapshotId == before)
+  }
+
   test("stateful sessionizer (flatMapGroupsWithState) flushes on size, conserves metrics") {
     import testImplicits._
     implicit val sqlCtx = spark.sqlContext
