@@ -2554,6 +2554,48 @@ object SparkEntry {
       }.reduce(_.unionByName(_))
     }),
 
+    "q_hard_negatives" -> ((s, dir) => {
+      // HARD-NEGATIVE MINING for contrastive training (the DPR recipe,
+      // Karpukhin et al. 2020: negatives that are semantically CLOSE but
+      // wrongly labeled move the loss; random negatives are too easy):
+      // for each probe vector, the top-3 most-similar vectors with a
+      // DIFFERENT label. Scale shape = q_knn_ivf's: train the coarse
+      // quantizer once (bounded driver sample), search ONLY the probe's 2
+      // nearest inverted lists (equi-join on cent_id — never all-pairs);
+      // the label-inequality is a filter on the in-list candidate set and
+      // the per-probe top-3 window is bounded by the probed lists.
+      VF.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          VF.l2NormF(col("embedding")).as("nrm"))
+      val qz = ivfQuantized(e)
+      val cents = ivfTrainCentroids(s, qz)
+      val assign = qz.crossJoin(broadcast(cents))
+        .withColumn("_d2", VF.sqDistL(col("qv"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("_d2"), col("cent_id"), col("label"),
+          col("embedding"), col("nrm"))).as("m"))
+        .select(col("vec_id"), col("m.cent_id").as("cent_id"),
+          col("m.label").as("label"), col("m.embedding").as("embedding"),
+          col("m.nrm").as("nrm"))
+      val q = qz.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("embedding").as("qe"), col("nrm").as("qnrm"), col("qv"))
+      val wProbe = Window.partitionBy(col("query_id")).orderBy(col("_d2"), col("cent_id"))
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("_d2", VF.sqDistL(col("qv"), col("cv")))
+        .withColumn("_rk", row_number().over(wProbe)).filter(col("_rk") <= 2)
+        .select(col("query_id"), col("qlabel"), col("qe"), col("qnrm"), col("cent_id"))
+      val wTop = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+      probes.join(assign, "cent_id")
+        .filter(col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+        .withColumn("sim", VF.dotF(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")))
+        .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 3)
+        .select(col("query_id"), col("qlabel").as("query_label"), col("rk"),
+          col("vec_id").as("negative_id"), col("label").as("negative_label"),
+          round(col("sim"), 6).as("sim"))
+    }),
+
     "q_bpe_apply" -> ((s, dir) => {
       // BPE ENCODING with the merge table learned by [[bpeTrainRounds]] —
       // the apply half of q_bpe_train (train + encode is the full
@@ -4044,6 +4086,31 @@ object SparkEntry {
     },
 
     "q_langid_eval" -> oLangIdEval,
+
+    "q_hard_negatives" ->
+      s"""WITH $oIvfCtes,
+         lab AS (SELECT vec_id, label FROM embeddings),
+         q AS (SELECT qz.vec_id AS query_id, l.label AS qlabel,
+             embedding AS qe, nrm AS qnrm, qv
+           FROM qz JOIN lab l ON qz.vec_id = l.vec_id
+           WHERE qz.vec_id >= 100 AND qz.vec_id < 110),
+         probes AS (SELECT query_id, qlabel, qe, qnrm, cent_id FROM (
+           SELECT q.query_id, q.qlabel, q.qe, q.qnrm, c.cent_id,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY ${oD2("q.qv", "c.cv")}, c.cent_id) AS rk
+           FROM q CROSS JOIN c$IvfIters c) WHERE rk <= 2)
+         SELECT query_id, query_label, cast(rk AS INT) AS rk,
+           negative_id, negative_label, round(sim, 6) AS sim FROM (
+           SELECT p.query_id, p.qlabel AS query_label, a.vec_id AS negative_id,
+             l2.label AS negative_label,
+             ${oDot("a.embedding", "p.qe")} / (a.nrm * p.qnrm) AS sim,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY ${oDot("a.embedding", "p.qe")} / (a.nrm * p.qnrm) DESC,
+                 a.vec_id) AS rk
+           FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+           JOIN lab l2 ON a.vec_id = l2.vec_id
+           WHERE a.vec_id <> p.query_id AND l2.label <> p.qlabel)
+         WHERE rk <= 3""",
 
     "q_bpe_train" ->
       s"""WITH $oBpeCtes

@@ -398,6 +398,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("hard-negative mining inherits the IVF prune: candidates come from " +
+    "an equi-join on cent_id (never all-pairs); nested loops only against " +
+    "the broadcast bounded centroid set") {
+    val p = planOf("q_hard_negatives")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("BPE training: corpus feeds ONE word-histogram aggregate; the 4 " +
     "unrolled merge rounds run on the 256-word bound (TakeOrderedAndProject " +
     "heaps for the bound and each argmax, 1-row broadcasts for the winning " +
