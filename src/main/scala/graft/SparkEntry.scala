@@ -305,11 +305,11 @@ object SparkEntry {
     * many rows per query. Sized by measurement (PqSpec): 4-bit ADC ordering
     * is noisy, and at 20 the shortlist still missed in-list winners
     * (agreement with q_knn_ivf 0.74); 32 buys the rest at negligible cost. */
-  private val PqShortlist = 32
+  private[graft] val PqShortlist = 32
 
   /** Per-subspace PQ codebooks as a (m, code, cv) DataFrame — 8×16 rows,
     * always a broadcast. */
-  private def pqTrainCodebooks(s: SparkSession, qz: DataFrame): DataFrame = {
+  private[graft] def pqTrainCodebooks(s: SparkSession, qz: DataFrame): DataFrame = {
     import s.implicits._
     val trainRows = ivfTrainSample(s, qz)
     (0 until PqM).flatMap { m =>
@@ -324,7 +324,7 @@ object SparkEntry {
 
   /** (id, m, sv) subvector rows: one row per (vector, subspace), sv = the
     * 8 scaled-integer dims of subspace m. Narrow 8× expansion — no shuffle. */
-  private def pqSubvectors(qz: DataFrame, idCol: String): DataFrame =
+  private[graft] def pqSubvectors(qz: DataFrame, idCol: String): DataFrame =
     qz.select(col(idCol), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qv"))
       .withColumn("sv", slice(col("qv"), col("m") * PqSub + 1, lit(PqSub)))
       .drop("qv")
@@ -333,7 +333,7 @@ object SparkEntry {
     * the subspace id against the BROADCAST 128-row codebook, argmin as a
     * partial-aggregatable min(struct(d2, code)) (map-side combine, no
     * window; (d2, code) lexicographic min = the oracle's tie-break). */
-  private def pqCodes(sub: DataFrame, books: DataFrame, idCol: String): DataFrame =
+  private[graft] def pqCodes(sub: DataFrame, books: DataFrame, idCol: String): DataFrame =
     sub.join(broadcast(books), "m")
       .withColumn("_d2", VF.sqDistL(col("sv"), col("cv")))
       .groupBy(col(idCol), col("m"))

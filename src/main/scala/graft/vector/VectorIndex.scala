@@ -43,9 +43,24 @@ final class VectorIndex private (val dir: String) {
       (id.toInt, vs.split(',').toSeq.map(_.toLong))
     }
 
+  /** Driver-side PQ codebooks (8×16 lines — bounded by construction):
+    * (m, code, cv) in the scaled-integer subvector space. Fixed at build
+    * time, like the centroids — appends encode against them (the FAISS
+    * `add` discipline). */
+  lazy val codebooks: Seq[(Int, Int, Seq[Long])] =
+    Files.readAllLines(Paths.get(dir, "CODEBOOKS")).asScala.toSeq.map { ln =>
+      val Array(m, c, vs) = ln.split('|')
+      (m.toInt, c.toInt, vs.split(',').toSeq.map(_.toLong))
+    }
+
   private def centsDf(s: SparkSession): DataFrame = {
     import s.implicits._
     centroids.toDF("cent_id", "cv")
+  }
+
+  private[vector] def booksDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    codebooks.toDF("m", "code", "cv")
   }
 
   private def lists(s: SparkSession): DataFrame =
@@ -83,6 +98,51 @@ final class VectorIndex private (val dir: String) {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Compressed-domain ANN search (the persisted IVF-ADC + refine layout
+    * of q_knn_pq): probe `nprobe` cells, rank the probed lists' candidates
+    * by asymmetric distance over their PERSISTED 4-bit codes (an equi-join
+    * against the query's broadcast 8×16 distance table — the scan side is
+    * the code table, not the embeddings), then re-rank the ADC
+    * top-[[graft.SparkEntry.PqShortlist]] by exact cosine fetched from the
+    * same pruned lists. Built on the same training sample, this reproduces
+    * the in-memory q_knn_pq result bit-for-bit (VectorIndexSpec). */
+  def searchAdc(s: SparkSession, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    VF.register(s)
+    val q = queries
+      .select(col("query_id"), col("qe"), VF.l2NormF(col("qe")).as("qnrm"),
+        transform(col("qe"),
+          x => floor(x.cast("double") * graft.SparkEntry.IvfScale + lit(0.5))).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("_d2"), col("cent_id"))
+    val probes = q.crossJoin(broadcast(centsDf(s)))
+      .withColumn("_d2", VF.sqDistL(col("qv"), col("cv")))
+      .withColumn("_rk", row_number().over(wProbe)).filter(col("_rk") <= nprobe)
+      .select(col("query_id"), col("cent_id"))
+    val cids = probes.select("cent_id").distinct().collect().map(_.getInt(0)).sorted
+    val lst = lists(s).filter(col("cent_id").isin(cids.map(Integer.valueOf): _*))
+    val dtable = graft.SparkEntry.pqSubvectors(q.select(col("query_id"), col("qv")), "query_id")
+      .join(broadcast(booksDf(s)), "m")
+      .select(col("query_id"), col("m"), col("code"),
+        VF.sqDistL(col("sv"), col("cv")).as("d2"))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    val shortlist = probes.join(lst.select(col("cent_id"), col("vec_id"), col("codes")), "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(dtable), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adist"))
+      .withColumn("ark", row_number().over(wAdc))
+      .filter(col("ark") <= graft.SparkEntry.PqShortlist)
+      .select(col("query_id"), col("vec_id"))
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    shortlist.join(lst.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+      .join(broadcast(q.select(col("query_id"), col("qe"), col("qnrm"))), "query_id")
+      .withColumn("sim", VF.dotF(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")))
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Incremental add WITHOUT retraining: assign `vectors` to the existing
     * centroids and write a new `run=` file-set alongside the base lists
     * (base files untouched — spec-asserted). The FAISS `add` discipline:
@@ -114,6 +174,17 @@ object VectorIndex {
       cents.map { case (id, v) => s"$id|${v.mkString(",")}" }.mkString("\n"))
     Files.move(tmp, Paths.get(dir, "CENTROIDS"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // PQ codebooks: trained once on the same bounded sample (the FAISS
+    // IVF-PQ layout), fixed for the index's lifetime — appends encode
+    // against them. 8×16 lines, driver-sized by construction.
+    val books = graft.SparkEntry.pqTrainCodebooks(s, qz)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+      .sortBy(b => (b._1, b._2))
+    val tmpB = Paths.get(dir, "CODEBOOKS.tmp")
+    Files.writeString(tmpB,
+      books.map { case (m, c, v) => s"$m|$c|${v.mkString(",")}" }.mkString("\n"))
+    Files.move(tmpB, Paths.get(dir, "CODEBOOKS"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     val idx = new VectorIndex(dir)
     writeLists(s, idx, vectors, runId = "base")
     idx
@@ -125,8 +196,10 @@ object VectorIndex {
   }
 
   /** Assign to the index's centroids (argmin as a partial-aggregatable
-    * min(struct) — the q_knn_ivf shape, no corpus-sized broadcast) and
-    * write one `run=` file-set partitioned by cent_id. */
+    * min(struct) — the q_knn_ivf shape, no corpus-sized broadcast), PQ-encode
+    * against the index's FIXED codebooks (4 bits × 8 subspaces per vector —
+    * the compressed search column), and write one `run=` file-set
+    * partitioned by cent_id. */
   private def writeLists(s: SparkSession, idx: VectorIndex,
       vectors: DataFrame, runId: String): Unit = {
     VF.register(s)
@@ -135,12 +208,20 @@ object VectorIndex {
       VF.l2NormF(col("embedding")).as("nrm"))
     val qz = graft.SparkEntry.ivfQuantized(e)
     val cents = idx.centroids.toDF("cent_id", "cv")
+    val codes = graft.SparkEntry.pqCodes(
+        graft.SparkEntry.pqSubvectors(qz.select(col("vec_id"), col("qv")), "vec_id"),
+        idx.booksDf(s), "vec_id")
+      .groupBy(col("vec_id"))
+      .agg(collect_list(struct(col("m"), col("code"))).as("mc"))
+      .select(col("vec_id"),
+        transform(array_sort(col("mc")), x => x.getField("code")).as("codes"))
     qz.crossJoin(broadcast(cents))
       .withColumn("_d2", VF.sqDistL(col("qv"), col("cv")))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("_d2"), col("cent_id"), col("embedding"), col("nrm"))).as("m"))
       .select(col("vec_id"), col("m.cent_id").as("cent_id"),
         col("m.embedding").as("embedding"), col("m.nrm").as("nrm"))
+      .join(codes, "vec_id")
       .write.mode("errorifexists").partitionBy("cent_id")
       .parquet(s"${idx.dir}/lists/run=$runId")
   }

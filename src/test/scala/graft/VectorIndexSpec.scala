@@ -69,6 +69,37 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestBase {
     finally Files.move(hidden, victim)
   }
 
+  test("searchAdc reproduces the in-memory q_knn_pq result bit-for-bit " +
+    "from the PERSISTED codes (IVF-ADC + exact refine, on-disk layout)") {
+    val dir = Files.createTempDirectory("vidx4").toString + "/idx"
+    VectorIndex.build(spark, vecs, dir)
+    val idx = VectorIndex.open(dir)
+    val got = rows(idx.searchAdc(spark, queriesDf(100, 110), k = 5, nprobe = 2))
+    val want = rows(SparkEntry.queries("q_knn_pq")(spark, sf))
+    assert(got == want)
+    // the codebooks are the persisted geometry: 8 subspaces × ≤16 words
+    assert(idx.codebooks.map(_._1).distinct.size == 8)
+    assert(idx.codebooks.forall(_._3.size == 8))
+  }
+
+  test("append encodes against the FIXED codebooks (no retrain): CODEBOOKS " +
+    "byte-identical after append, appended copy found by ADC search") {
+    import testImplicits._
+    val dir = Files.createTempDirectory("vidx5").toString + "/idx"
+    val idx = VectorIndex.build(spark, vecs, dir)
+    val booksBefore = Files.readAllBytes(Paths.get(s"$dir/CODEBOOKS")).toSeq
+
+    val copy = vecs.filter(col("vec_id") === 100)
+      .select(lit(999999L).as("vec_id"), col("embedding"))
+    idx.append(spark, copy, runId = "add1")
+    assert(Files.readAllBytes(Paths.get(s"$dir/CODEBOOKS")).toSeq == booksBefore,
+      "append must not retrain the codebooks")
+    // an exact copy ADC-ties its source at distance 0 and survives the
+    // refine: top-1 by exact cosine
+    val got = rows(idx.searchAdc(spark, queriesDf(100, 101), k = 5, nprobe = 2))
+    assert(got.head == ((100L, 1, 999999L, got.head._4)), got.toString)
+  }
+
   test("append without retraining: an exact copy of a query vector becomes " +
     "its top-1 neighbor; the base file-set is byte-untouched") {
     import testImplicits._
