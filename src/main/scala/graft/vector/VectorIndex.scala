@@ -18,7 +18,11 @@ import scala.jdk.CollectionConverters._
   *    scaled-integer space of [[graft.SparkEntry.ivfQuantized]] (written
   *    atomically; k = [[graft.SparkEntry.IvfK]] lines — driver-sized by
   *    construction).
-  *  - `lists/run=<runId>/cent_id=<c>/…parquet` — the inverted lists,
+  *  - `CODEBOOKS` — text, one line per PQ codebook word: `m|code|v1,…,v8`
+  *    (8 subspaces × ≤16 words; trained once at build on the same bounded
+  *    sample, FIXED for the index's lifetime — appends encode against it).
+  *  - `lists/run=<runId>/cent_id=<c>/…parquet` — the inverted lists
+  *    (embedding + nrm + the vector's 4-bit PQ `codes`),
   *    PARTITIONED BY cent_id so a search's `cent_id IN (probed)` filter is
   *    partition pruning: only the probed lists' files are ever opened
   *    (spec-proven by hiding an unprobed list's directory). Each
