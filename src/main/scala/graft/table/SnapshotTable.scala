@@ -592,6 +592,39 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     else spark.read.parquet(added.map(_.path): _*)
   }
 
+  /** Row-level CDC between two snapshots (the Iceberg
+    * `changelog`/`create_changelog_view` analog): emits every row that
+    * differs, tagged `op = insert | delete` — an update (e.g. a
+    * [[merge]]d correction) appears as its delete + insert pair, standard
+    * changelog semantics. Complements [[readChanges]] (file-set level,
+    * append-oriented): diff answers "WHAT rows changed", including through
+    * rewrites.
+    *
+    * Scale shape: buckets whose file-sets are IDENTICAL in both manifests
+    * are skipped without touching data (manifest compare); only changed
+    * buckets' old and new file-sets are read and EXCEPT ALL'd both ways —
+    * O(changed buckets), not O(table). */
+  def diff(spark: SparkSession, fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val fromEntries = entriesAt(spark, fromSnapshotId)
+    val toEntries = entriesAt(spark, toSnapshotId)
+    def byBucket(es: Seq[BucketEntry]) = es.groupBy(_.bucket)
+      .view.mapValues(_.map(_.path).sorted).toMap
+    val fromB = byBucket(fromEntries)
+    val toB = byBucket(toEntries)
+    val changed = (fromB.keySet ++ toB.keySet)
+      .filter(b => fromB.get(b) != toB.get(b)).toSeq.sorted
+    val schema = readAt(spark,
+      if (toEntries.nonEmpty) toSnapshotId else fromSnapshotId).limit(0)
+    def side(m: Map[Int, Seq[String]]): DataFrame = {
+      val paths = changed.flatMap(b => m.getOrElse(b, Nil))
+      if (paths.isEmpty) schema else spark.read.parquet(paths: _*)
+    }
+    val oldRows = side(fromB)
+    val newRows = side(toB)
+    newRows.exceptAll(oldRows).withColumn("op", lit("insert"))
+      .unionByName(oldRows.exceptAll(newRows).withColumn("op", lit("delete")))
+  }
+
   /** Manifest-pruned time-range read: selects only bucket file-sets whose
     * manifest `[minTs, maxTs]` interval overlaps the requested range, THEN
     * applies the exact per-row predicate. A "last week's turns" query scans

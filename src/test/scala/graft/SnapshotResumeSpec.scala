@@ -362,6 +362,37 @@ class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
       table.merge(spark, updated.unionByName(updated), runId = "runDup"))
   }
 
+  test("diff: row-level changelog between snapshots — a merged correction " +
+    "emits its delete+insert pair; unchanged buckets' files never read") {
+    import testImplicits._
+    val dir = Files.createTempDirectory("snap").toString
+    val table = new SnapshotTable(dir, numBuckets = 8)
+    val turns = TranscriptGen.dataset(spark, seed, 40, 80, partitions = 3)
+    ExtractJob.runIncremental(spark, table, turns, runId = "runFull")
+    val convId = "conv000007"
+    val base = ExtractPipeline.extract(spark,
+      turns.where(col("conv_id") === convId).as[graft.model.Turn])
+    val oldText = base.where(col("turn_idx") === 0)
+      .select("text").as[String].head()
+    val updated = base.where(col("turn_idx") === 0)
+      .withColumn("text", lit("CORRECTED")).as[graft.model.ExtractedTurn]
+    table.merge(spark, updated, runId = "runFix")
+
+    val d = table.diff(spark, 0L, 1L)
+    // manifest compare prunes to the ONE changed bucket — no other
+    // bucket's files appear in the scan
+    val b = table.bucketOfId(convId)
+    assert(d.inputFiles.nonEmpty && d.inputFiles.forall(_.contains(s"bucket=$b")),
+      d.inputFiles.mkString(","))
+    val rows = d.select("op", "conv_id", "turn_idx", "text")
+      .as[(String, String, Int, String)].collect().toSet
+    assert(rows == Set(
+      ("insert", convId, 0, "CORRECTED"),
+      ("delete", convId, 0, oldText)))
+    // identical snapshots diff to empty
+    assert(table.diff(spark, 1L, 1L).count() == 0)
+  }
+
   test("deleteConversations drops an emptied bucket from the manifest") {
     import testImplicits._
     val dir = Files.createTempDirectory("snap").toString
