@@ -2692,6 +2692,101 @@ object SparkEntry {
           explode(fieldsUdf(col("tool"), col("text"))).as(Seq("field", "value")))
     }),
 
+    "q_sft_pairs" -> ((s, dir) => {
+      // SFT PROMPT/RESPONSE PAIR MINING over role-tagged transcripts — the
+      // supervised-fine-tuning data-prep shape (InstructGPT-style pair
+      // assembly): each assistant turn is paired with the nearest
+      // PRECEDING user turn in its conversation; tool turns are
+      // transparent (skipped by the ignore-nulls carry, exactly how an
+      // agent trace collapses to (prompt, response) examples). The events
+      // table stands in as the transcript relation with a
+      // deterministically derived role column (injected-fixture
+      // discipline, q_url_canon): integer arithmetic both engines agree
+      // on, ~1/3 of turns per role. Scale shape: ONE exchange — the same
+      // conversation-keyed window as order restore; per-conv carried
+      // state is O(1) (the last user text), parallelism = |convs|.
+      val role = pmod(pmod(col("event_id") * lit(2654435761L), lit(97L)), lit(3L))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .withColumn("role",
+          when(role === 0, lit("user"))
+            .when(role === 1, lit("assistant")).otherwise(lit("tool")))
+        .withColumn("txt", concat(col("event_type"), lit(" "), col("props")))
+        .withColumn("prompt",
+          last(when(col("role") === "user", col("txt")), ignoreNulls = true).over(w))
+        .where(col("role") === "assistant" && col("prompt").isNotNull)
+        .select(col("user_id").as("conv_id"), col("event_id").as("turn_id"),
+          col("prompt"), col("txt").as("response"))
+    }),
+
+    "q_dpo_pairs" -> ((s, dir) => {
+      // PREFERENCE-PAIR MINING (DPO/RLHF data prep, Rafailov et al. 2023):
+      // per conversation, elect the best- and worst-scored assistant turn
+      // as the (chosen, rejected) pair; conversations whose responses all
+      // tie yield no pair. Reward = the integer payload already used by
+      // q_json_extract (injected-fixture discipline). Scale shape:
+      // WINDOW-FREE — the election is max_by/min_by over a UNIQUE packed
+      // key (score·10⁹ − turn_id, turn ids < 10⁹ here; at larger id
+      // spaces widen the packing), a declarative aggregate with map-side
+      // partials: each conversation crosses the one exchange as ≤ 2
+      // candidate rows per map task, never a per-conv sorted window.
+      val role = pmod(pmod(col("event_id") * lit(2654435761L), lit(97L)), lit(3L))
+      t(s, dir, "events")
+        .where(role === 1)
+        .withColumn("k",
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+        .withColumn("key", col("k") * lit(1000000000L) - col("event_id"))
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(col("event_id"), col("key")).as("chosen_id"),
+          max_by(col("k"), col("key")).as("chosen_score"),
+          min_by(col("event_id"), col("key")).as("rejected_id"),
+          min_by(col("k"), col("key")).as("rejected_score"))
+        .where(col("chosen_score") > col("rejected_score"))
+        .withColumnRenamed("user_id", "conv_id")
+    }),
+
+    "q_c4_rules" -> ((s, dir) => {
+      // C4 HEURISTIC CLEANING (Raffel et al. 2020 §2.2 — the
+      // line-then-document filter cascade every web-scale text pipeline
+      // runs before training): keep a line iff it ends in terminal
+      // punctuation, has ≥ 5 words, and mentions neither '{' (code) nor
+      // 'javascript' (boilerplate); then drop the whole document if it
+      // contains a kill phrase ('lorem ipsum') or fewer than 3 lines
+      // survive. The corpus has no organic line structure or boilerplate,
+      // so both are INJECTED deterministically (q_pii_scrub fixture
+      // discipline): 12-token lines with a per-line suffix cycling
+      // clean/clean/no-punct/brace/javascript, plus a kill-phrase line on
+      // every 13th document. Scale shape: ZERO exchanges — the whole
+      // cascade is one narrow codegen'd pass of array lambdas
+      // (sequence → transform → filter), like q_pii_scrub; doc-level
+      // verdicts fold over the same in-row array.
+      t(s, dir, "documents")
+        .withColumn("tk", TF.tokens(col("text")))
+        .withColumn("lines", expr(
+          """transform(sequence(0, int((size(tk) + 11) div 12) - 1), i ->
+               array_join(slice(tk, i * 12 + 1, 12), ' ') ||
+               CASE (doc_id + i) % 5
+                 WHEN 3 THEN ' {' WHEN 4 THEN ' javascript.'
+                 WHEN 2 THEN '' ELSE '.' END)"""))
+        .withColumn("lines", when(pmod(col("doc_id"), lit(13L)) === 0,
+          concat(col("lines"), array(lit("and lorem ipsum filler text here."))))
+          .otherwise(col("lines")))
+        .withColumn("kept", expr(
+          """filter(lines, l -> l LIKE '%.' AND size(split(l, ' ')) >= 5
+               AND NOT contains(l, '{') AND NOT contains(l, 'javascript')
+               AND NOT contains(l, 'lorem ipsum'))"""))
+        .withColumn("killed", expr(
+          "exists(lines, l -> contains(l, 'lorem ipsum'))"))
+        .select(col("doc_id"),
+          size(col("lines")).cast("long").as("n_lines"),
+          size(col("kept")).cast("long").as("n_kept"),
+          (!col("killed") && size(col("kept")) >= 3).as("keep"),
+          when(!col("killed") && size(col("kept")) >= 3,
+            array_join(col("kept"), " ")).as("clean_text"))
+    }),
+
     "x_lang_id" -> ((s, dir) => {
       // classifier-argmax demo over a broadcast profile table (J1 shape);
       // a UDF is acceptable here: the kernel is the operator being demoed,
@@ -4142,6 +4237,62 @@ object SparkEntry {
              list_transform(ws, x -> length(x)::BIGINT)), (a, x) -> a + x) AS n_chars,
            list_reduce(list_prepend(0::BIGINT, subw), (a, x) -> a + x) AS n_subwords
          FROM enc""",
+
+    "q_sft_pairs" ->
+      """WITH t AS (SELECT user_id, ts, event_id,
+             CASE ((event_id * 2654435761) % 97) % 3
+               WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+             event_type || ' ' || props AS txt
+           FROM events),
+         p AS (SELECT user_id, event_id, role, txt,
+             last_value(CASE WHEN role = 'user' THEN txt END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prompt
+           FROM t)
+         SELECT user_id AS conv_id, event_id AS turn_id, prompt, txt AS response
+         FROM p WHERE role = 'assistant' AND prompt IS NOT NULL""",
+
+    "q_dpo_pairs" ->
+      """WITH a AS (SELECT user_id, event_id,
+             cast(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+           FROM events
+           WHERE ((event_id * 2654435761) % 97) % 3 = 1),
+         b AS (SELECT user_id, event_id, k,
+             k * 1000000000 - event_id AS key FROM a)
+         SELECT user_id AS conv_id,
+           max_by(event_id, key) AS chosen_id, max_by(k, key) AS chosen_score,
+           min_by(event_id, key) AS rejected_id, min_by(k, key) AS rejected_score
+         FROM b GROUP BY user_id
+         HAVING max_by(k, key) > min_by(k, key)""",
+
+    "q_c4_rules" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(text), ' +') AS tk
+           FROM documents),
+         ln AS (SELECT doc_id,
+             list_transform(range(0, (len(tk) + 11) // 12), i ->
+               array_to_string(tk[i * 12 + 1 : i * 12 + 12], ' ') ||
+               CASE (doc_id + i) % 5
+                 WHEN 3 THEN ' {' WHEN 4 THEN ' javascript.'
+                 WHEN 2 THEN '' ELSE '.' END) AS lines0
+           FROM d),
+         lx AS (SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0
+               THEN list_append(lines0, 'and lorem ipsum filler text here.')
+               ELSE lines0 END AS lines
+           FROM ln),
+         k AS (SELECT doc_id, lines,
+             list_filter(lines, l -> l LIKE '%.'
+               AND len(string_split(l, ' ')) >= 5
+               AND NOT contains(l, '{') AND NOT contains(l, 'javascript')
+               AND NOT contains(l, 'lorem ipsum')) AS kept,
+             len(list_filter(lines, l -> contains(l, 'lorem ipsum'))) > 0 AS killed
+           FROM lx)
+         SELECT doc_id, len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept,
+           (NOT killed AND len(kept) >= 3) AS keep,
+           CASE WHEN NOT killed AND len(kept) >= 3
+             THEN array_to_string(kept, ' ') END AS clean_text
+         FROM k""",
 
     "x_lang_id" -> oLangIdPerDoc
   )

@@ -540,6 +540,31 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("SFT pair mining: exactly the one conversation-keyed window exchange " +
+    "(the order-restore shape; per-conv carried state is O(1))") {
+    val p = planOf("q_sft_pairs")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
+  test("DPO pair election is WINDOW-FREE: max_by/min_by partial-aggregate, " +
+    "each conversation crosses the exchange as O(1) candidate rows") {
+    val df = SparkEntry.queries("q_dpo_pairs")(spark, sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby")
+      || p.contains("partial_max"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("C4 rule cascade is a narrow per-row array-lambda pass — zero exchanges") {
+    val p = planOf("q_c4_rules")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
   test("whole-stage codegen covers the relational operator queries") {
     // executedPlan.toString marks codegen'd subtrees with "*(n)"; under AQE
     // the final plan only materializes after execution
