@@ -2787,6 +2787,46 @@ object SparkEntry {
             array_join(col("kept"), " ")).as("clean_text"))
     }),
 
+    "q_domain_rank" -> ((s, dir) => {
+      // DOMAIN AUTHORITY RANKING — fixed-iteration PageRank (Page et al.
+      // 1999) over the host graph, the signal CommonCrawl-scale curation
+      // uses to weight sources (OpenWebText's karma filter, Gopher's
+      // quality priors). The corpus has no organic links, so edges are
+      // derived deterministically per doc (fixture discipline); hosts
+      // match q_url_canon's 20-site space. Scale shape: the corpus
+      // collapses to the DISTINCT host-edge relation in ONE partial-agg'd
+      // exchange; each of the 4 unrolled iterations is rank⋈edges on src
+      // (equi-join — co-partitioned at scale, broadcast here by AQE since
+      // the host dim is tiny) + one groupBy dst with map-side partials.
+      // Integer micro-rank arithmetic (10¹² total mass, truncating div)
+      // — bit-identical across engines, no float damping. Hosts without
+      // out-edges leak their mass (the classic dangling simplification);
+      // hosts without in-edges keep the teleport floor via the left join.
+      val edges = t(s, dir, "documents")
+        .selectExpr("doc_id % 20 AS src",
+          "((doc_id div 20) * 7 + doc_id) % 20 AS dst")
+        .where(col("src") =!= col("dst")).distinct()
+      val nodes = edges.select(col("src").as("h"))
+        .union(edges.select(col("dst").as("h"))).distinct()
+      val nC = nodes.agg(count(lit(1)).as("n"))
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      var rank = nodes.crossJoin(broadcast(nC))
+        .selectExpr("h", "1000000000000 div n AS r")
+      for (_ <- 1 to 4) {
+        val contrib = edges
+          .join(rank.withColumnRenamed("h", "src"), "src")
+          .join(outdeg, "src")
+          .groupBy("dst").agg(sum(expr("r div outdeg")).as("c"))
+        rank = nodes.crossJoin(broadcast(nC))
+          .join(contrib.withColumnRenamed("dst", "h"), Seq("h"), "left")
+          .selectExpr("h",
+            "(15 * (1000000000000 div n)) div 100 + (85 * coalesce(c, 0)) div 100 AS r")
+      }
+      rank.join(outdeg.withColumnRenamed("src", "h"), Seq("h"), "left")
+        .select(col("h").as("host"), col("r").as("rank_u"),
+          coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+    }),
+
     "x_lang_id" -> ((s, dir) => {
       // classifier-argmax demo over a broadcast profile table (J1 shape);
       // a UDF is acceptable here: the kernel is the operator being demoed,
@@ -3151,7 +3191,39 @@ object SparkEntry {
       }
     }
 
+  /** q_domain_rank's oracle: the same 4 PageRank iterations unrolled as
+    * chained CTEs (generated by the same loop bound as the Spark side —
+    * the two engines cannot disagree on the round count). */
+  private val oDomainRank: String = {
+    val base =
+      """WITH e0 AS (SELECT DISTINCT doc_id % 20 AS src,
+             ((doc_id // 20) * 7 + doc_id) % 20 AS dst
+           FROM documents
+           WHERE doc_id % 20 <> ((doc_id // 20) * 7 + doc_id) % 20),
+         nodes AS (SELECT DISTINCT src AS h FROM e0
+                   UNION SELECT DISTINCT dst FROM e0),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         od AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY src),
+         r0 AS (SELECT h, 1000000000000 // n AS r FROM nodes CROSS JOIN nn)"""
+    val iters = (1 to 4).map { i =>
+      s""",
+         c$i AS (SELECT e0.dst AS h, sum(r.r // od.outdeg) AS c
+           FROM e0 JOIN r${i - 1} r ON e0.src = r.h JOIN od ON e0.src = od.src
+           GROUP BY e0.dst),
+         r$i AS (SELECT nodes.h,
+             (15 * (1000000000000 // n)) // 100
+               + (85 * coalesce(c$i.c, 0)) // 100 AS r
+           FROM nodes CROSS JOIN nn LEFT JOIN c$i ON nodes.h = c$i.h)"""
+    }.mkString
+    base + iters +
+      """
+         SELECT r4.h AS host, r4.r AS rank_u,
+           coalesce(od.outdeg, 0)::BIGINT AS outdeg
+         FROM r4 LEFT JOIN od ON r4.h = od.src"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_domain_rank" -> oDomainRank,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(cast(l_quantity AS DECIMAL(20,6))),2)::DOUBLE AS sum_qty,

@@ -50,8 +50,43 @@ object LevenshteinPruning extends Rule[LogicalPlan] {
         spark.experimental.extraOptimizations :+ LevenshteinPruning
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the engine's whole Catalyst surface
+  * in one switch — the optimizer rule above plus every native expression
+  * registered as a PERMANENT SQL function (`injectFunction` lands in the
+  * session's FunctionRegistry at build time, so a pure-SQL user — a
+  * notebook, a Thrift server, `spark-sql` with
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` — gets
+  * `html_main_text(...)` etc. without touching the Scala API; the
+  * per-session `register()` helpers remain for sessions built without
+  * extensions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => LevenshteinPruning)
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
+  }
+}
+
+object GraftExtensions {
+  import graft.functions._
+
+  /** Name → builder for every native expression the engine ships. One list
+    * feeds both `injectFunction` (extension-built sessions) and the ad-hoc
+    * `register()` path, so the SQL and Scala surfaces cannot drift. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "html_main_text" -> (es => HtmlMainText(es.head)),
+    "text_fingerprint" -> (es => TextFingerprint(es.head)),
+    "sorted_pairs" -> (es => SortedPairsL(es.head)),
+    "shingles_f" -> (es => ShinglesF(es.head)),
+    "minhash_sig" -> (es => MinHashSigF(es.head)),
+    "simhash_sig" -> (es => SimHashSigF(es.head)),
+    "bloom_maybe" -> (es => BloomMaybe(es(0), es(1))),
+    "spans_slim" -> (es => SlimSpans(es.head)),
+    "spans_fatten" -> (es => FattenSpans(es(0), es(1))),
+    "sqdist_l" -> (es => SqDistL(es(0), es(1))),
+    "dot_f" -> (es => DotProductF(es(0), es(1))),
+    "plane_sig" -> (es => PlaneSigF(es.head)),
+    "winnow_fp" -> (es => WinnowF(es.head)))
 }

@@ -565,6 +565,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
   }
 
+  test("domain PageRank: corpus collapses to the distinct edge relation; " +
+    "iterations are hash equi-joins + partial-agg'd sums (the only " +
+    "nested-loop is the 1-row node-count broadcast)") {
+    val p = planOf("q_domain_rank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("whole-stage codegen covers the relational operator queries") {
     // executedPlan.toString marks codegen'd subtrees with "*(n)"; under AQE
     // the final plan only materializes after execution
