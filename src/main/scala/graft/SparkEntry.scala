@@ -2827,6 +2827,60 @@ object SparkEntry {
           coalesce(col("outdeg"), lit(0L)).as("outdeg"))
     }),
 
+    "q_embed_meanpool" -> ((s, dir) => {
+      // MEAN-POOLING chunk embeddings into item embeddings (how a document
+      // or conversation vector is assembled from its chunk/turn vectors
+      // before indexing — the standard sentence-transformers pooling).
+      // Components are integer-scaled (floor(x·10⁶): float→double widening
+      // and the multiply are bit-identical cross-engine, floor kills the
+      // tail) so the pooled sum is hash-exact. Scale shape: the element-
+      // wise sum is [[graft.functions.ArraySumAgg]] — a typed Aggregator
+      // whose map-side combine ships ONE 64-long array per group per map
+      // task, where the posexplode+groupBy form would multiply the
+      // shuffled rows by the vector dimension. One exchange, window-free.
+      val pool = udaf(new graft.functions.ArraySumAgg,
+        graft.functions.ArraySumAgg.inputEncoder)
+      t(s, dir, "embeddings")
+        .select(expr("vec_id div 10").as("gid"),
+          expr("transform(embedding, x -> cast(floor(cast(x AS DOUBLE) * 1000000) AS BIGINT))")
+            .as("sc"))
+        .groupBy(col("gid"))
+        .agg(pool(col("sc")).as("sums"), count(lit(1)).as("n_chunks"))
+        .select(col("gid"), col("n_chunks"),
+          expr("transform(sums, x -> x div n_chunks)").as("pooled_micro"))
+    }),
+
+    "q_anomaly_mad" -> ((s, dir) => {
+      // ROBUST OUTLIER DETECTION — median absolute deviation (the
+      // Hampel/MAD rule robust statistics uses where ±3σ breaks: the
+      // median and MAD are unmoved by the outliers being hunted). Per
+      // event_type: med = median(value), MAD = median(|value − med|),
+      // outlier ⇔ |v − med| > 3·MAD. All arithmetic integerized
+      // (value·10³, then ×2 at each interpolated median so the midpoint
+      // stays integral — exact dyadic cross-engine, the q_median float
+      // policy tightened to support a COMPARISON, where any fp wobble
+      // would flip rows at the boundary). Scale shape: two grouped exact
+      // percentiles (ObjectHashAggregate with partials) + the tiny
+      // per-type stats broadcast back — the corpus never shuffles. Exact
+      // medians are the correctness twin; at 100 TB the mergeable
+      // hash-threshold sketch (q_quantile_sketch) supplies the quantiles.
+      val v = t(s, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * 1000).cast("long").as("vm"))
+      val med = v.groupBy("event_type")
+        .agg((expr("percentile(vm, 0.5)") * 2).cast("long").as("med2"))
+      val dev = v.join(broadcast(med), "event_type")
+        .withColumn("adev2", abs(col("vm") * 2 - col("med2")))
+      val mad = dev.groupBy("event_type")
+        .agg((expr("percentile(adev2, 0.5)") * 2).cast("long").as("mad4"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("adev2") * 2 > col("mad4") * 3, 1L).otherwise(0L))
+            .as("n_outliers"),
+          max(col("med2")).as("med2"), max(col("mad4")).as("mad4"))
+    }),
+
     "x_lang_id" -> ((s, dir) => {
       // classifier-argmax demo over a broadcast profile table (J1 shape);
       // a UDF is acceptable here: the kernel is the operator being demoed,
@@ -4365,6 +4419,32 @@ object SparkEntry {
            CASE WHEN NOT killed AND len(kept) >= 3
              THEN array_to_string(kept, ' ') END AS clean_text
          FROM k""",
+
+    "q_embed_meanpool" ->
+      """WITH x AS (SELECT vec_id // 10 AS gid,
+             list_transform(embedding, v -> floor(v::DOUBLE * 1000000)::BIGINT) AS sc
+           FROM embeddings),
+         u AS (SELECT gid, unnest(range(1, len(sc) + 1)) AS i, unnest(sc) AS v
+           FROM x),
+         g AS (SELECT gid, i, sum(v)::BIGINT AS s FROM u GROUP BY gid, i),
+         c AS (SELECT gid, count(*)::BIGINT AS n_chunks FROM x GROUP BY gid)
+         SELECT g.gid, c.n_chunks,
+           list(s // n_chunks ORDER BY i) AS pooled_micro
+         FROM g JOIN c USING (gid) GROUP BY g.gid, c.n_chunks""",
+
+    "q_anomaly_mad" ->
+      """WITH v AS (SELECT event_type, round(value * 1000)::BIGINT AS vm
+           FROM events),
+         m AS (SELECT event_type,
+             (2 * quantile_cont(vm, 0.5))::BIGINT AS med2 FROM v GROUP BY 1),
+         d AS (SELECT v.event_type, abs(2 * vm - med2) AS adev2, med2
+           FROM v JOIN m USING (event_type)),
+         md AS (SELECT event_type,
+             (2 * quantile_cont(adev2, 0.5))::BIGINT AS mad4 FROM d GROUP BY 1)
+         SELECT d.event_type, count(*)::BIGINT AS n,
+           sum(CASE WHEN 2 * adev2 > 3 * mad4 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           max(med2) AS med2, max(mad4) AS mad4
+         FROM d JOIN md USING (event_type) GROUP BY 1""",
 
     "x_lang_id" -> oLangIdPerDoc
   )

@@ -72,4 +72,18 @@ class AggregatorSpec extends AnyFunSuite with SparkTestBase {
     assert(scored.finish(scored.merge(sl, sr)) ==
       Seq(Scored(3, 9.0), Scored(4, 9.0)))
   }
+
+  test("ArraySumAgg algebra: element-wise sum, ragged arrays zero-extend, " +
+    "merge is order-insensitive and matches the sequential fold") {
+    val a = new graft.functions.ArraySumAgg
+    val rows: Seq[Seq[Long]] = Seq(Seq(1L, 2L, 3L), Seq(10L), Seq(0L, 5L, 0L, 7L))
+    def fold(xs: Seq[Seq[Long]]) = xs.foldLeft(a.zero)(a.reduce)
+    val all = a.finish(fold(rows))
+    assert(all == Seq(11L, 7L, 3L, 7L))
+    // split + merge (either order) == sequential
+    val (l, r) = rows.splitAt(1)
+    assert(a.finish(a.merge(fold(l), fold(r))) == all)
+    assert(a.finish(a.merge(fold(r), fold(l))) == all)
+    assert(a.finish(a.zero).isEmpty)
+  }
 }

@@ -574,6 +574,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("embedding mean-pool: ArraySumAgg map-side-combines (one dim-length " +
+    "array per group per map task — never a posexplode dim x row blow-up); " +
+    "window-free, single exchange") {
+    val df = SparkEntry.queries("q_embed_meanpool")(spark, sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.toLowerCase.contains("partial_arraysumagg"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Generate"), p) // no explode anywhere
+  }
+
+  test("MAD outlier detection: exact percentiles partial-aggregate and the " +
+    "tiny per-type stats BROADCAST back — the corpus never shuffles") {
+    val p = planOf("q_anomaly_mad")
+    assert(p.contains("partial_percentile"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the relational operator queries") {
     // executedPlan.toString marks codegen'd subtrees with "*(n)"; under AQE
     // the final plan only materializes after execution
