@@ -79,12 +79,32 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
   }
 
+  /** ×F events: copy k remaps event and user ids into disjoint ranges —
+    * ×F more conversations/users of the SAME length distribution (the
+    * window/sequence queries' cost driver is per-conversation work, so the
+    * honest scale-up adds conversations, not longer ones). ts/value/props
+    * ride along unchanged; the derived role/score arithmetic in
+    * q_sft_pairs/q_dpo_pairs then varies per copy through the new ids. */
+  private def scaledEvents(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
+    val base = spark.read.parquet(s"$baseDir/events.parquet")
+    (0 until factor).map { k =>
+      base.select(
+        (col("event_id") + lit(k * 10000000L)).as("event_id"),
+        col("ts"), (col("user_id") + lit(k * 1000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+  }
+
   private def materialize(spark: SparkSession, baseDir: String, out: String, factor: Int): Unit = {
-    if (Files.exists(Paths.get(out, "documents.parquet", "_SUCCESS"))) return
-    scaledDocs(spark, baseDir, factor).repartition(32)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    scaledEmbeddings(spark, baseDir, factor).repartition(8)
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    if (!Files.exists(Paths.get(out, "documents.parquet", "_SUCCESS"))) {
+      scaledDocs(spark, baseDir, factor).repartition(32)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      scaledEmbeddings(spark, baseDir, factor).repartition(8)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    if (!Files.exists(Paths.get(out, "events.parquet", "_SUCCESS")))
+      scaledEvents(spark, baseDir, factor).repartition(16)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
   // order matters: q_simhash_pairs before q_dedup_components so the shared
@@ -95,7 +115,9 @@ object ScaleProbe {
     "q_minhash_sig", "q_dedup_minhash_pairs", "q_simhash", "q_simhash_pairs",
     "q_dedup_jaccard", "q_dedup_components", "q_decontaminate",
     "q_dedup_embed_lsh", "q_semantic_dedup", "q_knn_ivf",
-    "q_pq_encode", "q_knn_pq", "q_skew_join")
+    "q_pq_encode", "q_knn_pq", "q_skew_join",
+    "q_c4_rules", "q_domain_rank", "q_embed_meanpool",
+    "q_sft_pairs", "q_dpo_pairs", "q_anomaly_mad")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
