@@ -1,0 +1,123 @@
+package graft.dedup
+
+import graft.functions.{ShingleFunctions => SF, TextFunctions => TF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** PERSISTED MinHash-LSH near-duplicate index — the text-dedup analog of
+  * [[graft.vector.VectorIndex]], and the NEAR-dup face of incremental
+  * ingest (q_dedup_incremental's bloom handles exact dups): build once
+  * over the resident corpus (16-hash minhash signature per document, 4×4
+  * banding — the q_dedup_minhash_pairs geometry, so the two faces cannot
+  * disagree), persist the band buckets partitioned by a BOUNDED cell key,
+  * then probe each new batch against the index without ever touching the
+  * resident corpus' text again:
+  *
+  *  - a probe's scan opens ONLY the cells its own band keys hash into —
+  *    `cell IN (…)` is partition pruning over ≤ 4·|batch| (≤ [[DupIndex.Cells]])
+  *    directories, so probe IO scales with the batch, not the corpus
+  *    (DupIndexSpec proves it by asserting every scanned file lies in a
+  *    probed cell);
+  *  - the signature STORED in the lists supplies the k/16 Jaccard
+  *    estimate (Broder's unbiased estimator — matching minhash
+  *    components / 16), so candidate scoring needs no re-shingling of
+  *    the indexed side.
+  *
+  * Layout: `dir/lists/run=<runId>/cell=<c>/…parquet` with data columns
+  * (bkey: string — band-prefixed bucket key, doc_id, sig: array&lt;long&gt;).
+  * Appends are new `run=` file-sets (base files untouched; duplicate
+  * runIds refused by errorifexists) — same durability posture as
+  * [[graft.vector.VectorIndex]]: the hardened manifest/commit protocol
+  * lives in [[graft.table.SnapshotTable]]; an index over a mutating
+  * corpus is rebuilt from a tagged snapshot.
+  */
+final class DupIndex private (val dir: String) {
+  import DupIndex._
+
+  private def lists(s: SparkSession): DataFrame =
+    s.read.parquet(s"$dir/lists")
+
+  /** Total (doc, band) entries — metadata-cheap. */
+  def count(s: SparkSession): Long = lists(s).count()
+
+  /** Probe a batch of new documents against the index.
+    * @param docs (doc_id: long, text: string)
+    * @param minEst keep pairs with estimated Jaccard ≥ minEst
+    * @return (probe_id, index_id, est_jaccard) — distinct candidate pairs
+    *         from the banded equi-join within the probed cells only. */
+  def probe(s: SparkSession, docs: DataFrame, minEst: Double): DataFrame = {
+    val pb = bands(docs)
+    // bounded driver-side probed-cell set (≤ 4·|batch| and ≤ Cells·4):
+    // becomes an isin PARTITION filter, so only probed cells' files open
+    val cells = pb.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val lst = lists(s).filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+    pb.select(col("cell"), col("bkey"),
+        col("doc_id").as("probe_id"), col("sig").as("psig"))
+      .join(lst.select(col("cell"), col("bkey"),
+        col("doc_id").as("index_id"), col("sig").as("isig")),
+        Seq("cell", "bkey"))
+      .filter(col("probe_id") =!= col("index_id"))
+      .dropDuplicates("probe_id", "index_id")
+      .withColumn("est_jaccard", expr(
+        "cast(aggregate(zip_with(psig, isig, (a, b) -> IF(a = b, 1, 0)), 0, (acc, x) -> acc + x) AS DOUBLE) / cast(16 AS DOUBLE)"))
+      .filter(col("est_jaccard") >= minEst)
+      .select(col("probe_id"), col("index_id"), col("est_jaccard"))
+  }
+
+  /** Incremental add: signature + band the batch and write a new `run=`
+    * file-set alongside the base lists (base files byte-untouched —
+    * spec-asserted; duplicate runIds refused). */
+  def append(s: SparkSession, docs: DataFrame, runId: String): Unit = {
+    require(runId.matches("[A-Za-z0-9._-]+"), s"unsafe runId: $runId")
+    writeLists(s, this, docs, runId)
+  }
+}
+
+object DupIndex {
+
+  /** Cell space per band for the partition key: 4 bands × Cells dirs.
+    * Bounded so the directory count is fixed at any corpus size (a raw
+    * bucket-valued partition key would create one directory per distinct
+    * band key — unbounded small-file explosion). */
+  val Cells = 64
+
+  /** (doc_id, cell, bkey, sig) — one row per (doc, band). The band key is
+    * band-prefixed (same 4×4 slicing as q_dedup_minhash_pairs) and the
+    * cell is a stable hash of the key folded into the bounded space. */
+  private[graft] def bands(docs: DataFrame): DataFrame = {
+    SF.register(docs.sparkSession)
+    val sig = docs
+      .withColumn("w", TF.tokens(col("text")))
+      .withColumn("sig", SF.minhashSig(col("w")))
+      .select(col("doc_id"), col("sig"))
+    val bandStructs = array((0 until 4).map { j =>
+      struct(
+        concat_ws("_", lit(j) +:
+          (0 until 4).map(r => col("sig").getItem(4 * j + r)): _*).as("bkey"))
+    }: _*)
+    sig.select(col("doc_id"), col("sig"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.bkey").as("bkey"))
+      .withColumn("cell", pmod(xxhash64(col("bkey")), lit(4 * Cells)).cast("int"))
+  }
+
+  /** Build over the resident corpus: `docs` = (doc_id, text). */
+  def build(s: SparkSession, docs: DataFrame, dir: String): DupIndex = {
+    Files.createDirectories(Paths.get(dir))
+    val idx = new DupIndex(dir)
+    writeLists(s, idx, docs, runId = "base")
+    idx
+  }
+
+  def open(dir: String): DupIndex = {
+    require(Files.exists(Paths.get(dir, "lists")), s"no index in $dir")
+    new DupIndex(dir)
+  }
+
+  private def writeLists(s: SparkSession, idx: DupIndex,
+      docs: DataFrame, runId: String): Unit =
+    bands(docs)
+      .select(col("cell"), col("bkey"), col("doc_id"), col("sig"))
+      .write.mode("errorifexists").partitionBy("cell")
+      .parquet(s"${idx.dir}/lists/run=$runId")
+}

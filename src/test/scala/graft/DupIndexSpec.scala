@@ -1,0 +1,113 @@
+package graft
+
+import graft.dedup.DupIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** The persisted MinHash-LSH index must (1) agree with the in-memory
+  * banded candidate generation (same geometry ⇒ same pairs), (2) score
+  * candidates from STORED signatures alone, (3) prune its scan to the
+  * probed cells, and (4) take appends without touching base file-sets. */
+class DupIndexSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select("doc_id", "text")
+
+  test("self-probe reproduces the in-memory banded candidate set, and exact " +
+    "copies score est_jaccard = 1.0 from the stored signatures") {
+    val dir = Files.createTempDirectory("dupidx1").toString + "/idx"
+    val idx = DupIndex.build(spark, docs, dir)
+
+    val selfPairs = idx.probe(spark, docs, minEst = 0.0)
+      .select(least(col("probe_id"), col("index_id")),
+        greatest(col("probe_id"), col("index_id")))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inMem = SparkEntry.queries("q_dedup_minhash_pairs")(spark, sf)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(selfPairs == inMem, s"index=${selfPairs.size} in-mem=${inMem.size}")
+
+    // exact copies under new ids: every probe doc finds its twin at 1.0
+    val copies = docs.limit(20)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val hits = idx.probe(spark, copies, minEst = 0.99)
+      .filter(col("index_id") === col("probe_id") - 1000000L)
+      .collect()
+    assert(hits.length == 20, s"found ${hits.length}/20 twins")
+    assert(hits.forall(_.getAs[Double]("est_jaccard") == 1.0))
+  }
+
+  test("probe IO prunes to the probed cells: every scanned file lies in a " +
+    "probed cell, and hiding an UNPROBED cell directory does not disturb " +
+    "the probe") {
+    val dir = Files.createTempDirectory("dupidx2").toString + "/idx"
+    val idx = DupIndex.build(spark, docs, dir)
+    val one = docs.limit(1)
+    val probedCells = DupIndex.bands(one)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(probedCells.size <= 4)
+
+    val result = idx.probe(spark, one, minEst = 0.0)
+    // the lists scan must carry a PARTITION filter on the probed cell set
+    // (inputFiles can't show this — it lists the relation pre-pruning)
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan)
+
+    // hide an unprobed cell (park OUTSIDE the lists tree — partition
+    // discovery must never see it), probe again: identical result
+    val baseline = result.collect().map(_.toSeq).toSet
+    val listDirs = Files.list(Paths.get(s"$dir/lists/run=base")).iterator()
+    var victim: java.nio.file.Path = null
+    listDirs.forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("cell=") &&
+          !probedCells.contains(n.stripPrefix("cell=").toInt) && victim == null)
+        victim = p
+    }
+    assert(victim != null, "all cells probed — fixture too small to prove pruning")
+    val hidden = Paths.get(dir).getParent.resolve("hidden_cell")
+    Files.move(victim, hidden)
+    try {
+      val again = idx.probe(spark, one, minEst = 0.0).collect().map(_.toSeq).toSet
+      assert(again == baseline)
+    } finally Files.move(hidden, victim)
+  }
+
+  test("append: new batch probe-able against base + appended runs; base " +
+    "file-set byte-untouched; duplicate runId refused") {
+    val dir = Files.createTempDirectory("dupidx3").toString + "/idx"
+    val idx = DupIndex.build(spark, docs.limit(100), dir)
+
+    def baseFiles() = {
+      val base = Paths.get(s"$dir/lists/run=base")
+      val it = Files.walk(base).iterator()
+      val buf = scala.collection.mutable.ListBuffer[(String, Long, Long)]()
+      it.forEachRemaining { p =>
+        if (Files.isRegularFile(p))
+          buf += ((p.toString, Files.size(p), Files.getLastModifiedTime(p).toMillis))
+      }
+      buf.toList.sortBy(_._1)
+    }
+    val before = baseFiles()
+
+    val batch = docs.limit(100)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    idx.append(spark, batch, runId = "ingest-1")
+    assert(baseFiles() == before, "append must not rewrite base files")
+
+    // a fresh probe doc (copy of an appended doc) hits the APPENDED run
+    val probe = batch.limit(1)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+    val hit = DupIndex.open(dir).probe(spark, probe, minEst = 0.99)
+      .filter(col("index_id") >= 2000000L).collect()
+    assert(hit.nonEmpty, "appended docs must be probe-able")
+
+    intercept[Exception] { idx.append(spark, batch, runId = "ingest-1") }
+    intercept[IllegalArgumentException] {
+      idx.append(spark, batch, runId = "../evil")
+    }
+  }
+}
