@@ -72,6 +72,39 @@ final class DupIndex private (val dir: String) {
     require(runId.matches("[A-Za-z0-9._-]+"), s"unsafe runId: $runId")
     writeLists(s, this, docs, runId)
   }
+
+  /** Streaming/batch ingest GATE — the `foreachBatch` body for a
+    * continuously deduped corpus: drop batch documents near-duplicating
+    * the index (probe, est ≥ minEst), dedup the batch against ITSELF
+    * (in-batch banded self-join, lowest doc_id survives — the
+    * q_semantic_dedup keep rule), append the survivors as
+    * `run=batch-<id>`, and return them (the downstream write set).
+    *
+    * REPLAY-SAFE: a redelivered batchId (its run directory already
+    * exists) skips the append — the same batchId-as-runId idempotence
+    * contract as the snapshot streaming sink, so foreachBatch's
+    * at-least-once delivery yields exactly-once index state. */
+  def ingestBatch(s: SparkSession, docs: DataFrame, batchId: Long,
+      minEst: Double): DataFrame = {
+    val vsIndex = probe(s, docs, minEst).select(col("probe_id").as("doc_id")).distinct()
+    val pb = bands(docs)
+    val inBatch = pb.select(col("cell"), col("bkey"),
+        col("doc_id").as("id_a"), col("sig").as("psig"))
+      .join(pb.select(col("cell"), col("bkey"),
+        col("doc_id").as("id_b"), col("sig").as("isig")), Seq("cell", "bkey"))
+      .filter(col("id_a") > col("id_b")) // a has a LOWER-id neighbor b
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("est", expr(
+        "cast(aggregate(zip_with(psig, isig, (a, b) -> IF(a = b, 1, 0)), 0, (acc, x) -> acc + x) AS DOUBLE) / cast(16 AS DOUBLE)"))
+      .filter(col("est") >= minEst)
+      .select(col("id_a").as("doc_id")).distinct()
+    val survivors = docs
+      .join(vsIndex, Seq("doc_id"), "left_anti")
+      .join(inBatch, Seq("doc_id"), "left_anti")
+    if (!Files.exists(Paths.get(dir, "lists", s"run=batch-$batchId")))
+      append(s, survivors, s"batch-$batchId")
+    survivors
+  }
 }
 
 object DupIndex {

@@ -110,4 +110,46 @@ class DupIndexSpec extends AnyFunSuite with SparkTestBase {
       idx.append(spark, batch, runId = "../evil")
     }
   }
+
+  test("ingestBatch gate: index-dups and in-batch lower-id dups dropped, " +
+    "survivors appended, replayed batchId is a NO-OP (exactly-once index " +
+    "state under foreachBatch's at-least-once delivery)") {
+    val dir = Files.createTempDirectory("dupidx4").toString + "/idx"
+    // deterministic membership (a bare limit() takes arbitrary rows)
+    val corpus = docs.filter(col("doc_id") < 50)
+    val idx = DupIndex.build(spark, corpus, dir)
+
+    // batch: 1 copy of an indexed doc (id 5000000), 2 copies of the SAME
+    // not-indexed text (5000001 < 5000002)
+    val indexedCopy = corpus.filter(col("doc_id") === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val freshText = docs.filter(col("doc_id") === 400).select("text")
+    val freshTwins = freshText.crossJoin(
+        spark.range(5000001L, 5000003L).select(col("id").as("doc_id")))
+      .select("doc_id", "text")
+    val batch = indexedCopy.unionByName(freshTwins)
+
+    val survivors = idx.ingestBatch(spark, batch, batchId = 7L, minEst = 0.99)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(5000001L), survivors)
+
+    def runFiles() = {
+      val it = Files.walk(Paths.get(s"$dir/lists/run=batch-7")).iterator()
+      val buf = scala.collection.mutable.ListBuffer[(String, Long)]()
+      it.forEachRemaining(p =>
+        if (Files.isRegularFile(p)) buf += ((p.toString, Files.size(p))))
+      buf.toList.sortBy(_._1)
+    }
+    val afterFirst = runFiles()
+    // the surviving twin is now resident: a future copy of it is a dup
+    val again = idx.probe(spark,
+      freshTwins.filter(col("doc_id") === 5000002L), minEst = 0.99).collect()
+    assert(again.nonEmpty)
+
+    // replay: same batchId redelivered — no write, same survivors returned
+    val replay = idx.ingestBatch(spark, batch, batchId = 7L, minEst = 0.99)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replay == Set(5000001L))
+    assert(runFiles() == afterFirst, "replayed batch must not rewrite the run")
+  }
 }
