@@ -2881,6 +2881,25 @@ object SparkEntry {
           max(col("med2")).as("med2"), max(col("mad4")).as("mad4"))
     }),
 
+    "q_conv_budget" -> ((s, dir) => {
+      // CONTEXT-WINDOW TRUNCATION: keep each conversation's longest
+      // whole-turn PREFIX within a token budget — how a transcript longer
+      // than the model context is cut for SFT (at a turn boundary, never
+      // mid-turn; the complement of q_pack_sequences' bin packing and
+      // q_chunk_overlap's mid-text splits). Scale shape: ONE conv-keyed
+      // window cumsum — the order-restore exchange; O(1) carried state.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("n_tok",
+          size(split(concat(col("event_type"), lit(" "), col("props")), " "))
+            .cast("long"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .where(col("cum_tok") <= 48)
+        .select(col("user_id").as("conv_id"), col("event_id").as("turn_id"),
+          col("n_tok"), col("cum_tok"))
+    }),
+
     "x_lang_id" -> ((s, dir) => {
       // classifier-argmax demo over a broadcast profile table (J1 shape);
       // a UDF is acceptable here: the kernel is the operator being demoed,
@@ -4445,6 +4464,17 @@ object SparkEntry {
            sum(CASE WHEN 2 * adev2 > 3 * mad4 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
            max(med2) AS med2, max(mad4) AS mad4
          FROM d JOIN md USING (event_type) GROUP BY 1""",
+
+    "q_conv_budget" ->
+      """WITH t AS (SELECT user_id, event_id, ts,
+             len(string_split(event_type || ' ' || props, ' '))::BIGINT AS n_tok
+           FROM events),
+         c AS (SELECT user_id, event_id, n_tok,
+             (sum(n_tok) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tok
+           FROM t)
+         SELECT user_id AS conv_id, event_id AS turn_id, n_tok, cum_tok
+         FROM c WHERE cum_tok <= 48""",
 
     "x_lang_id" -> oLangIdPerDoc
   )
