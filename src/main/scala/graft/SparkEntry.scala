@@ -2900,6 +2900,74 @@ object SparkEntry {
           col("n_tok"), col("cum_tok"))
     }),
 
+    "q_rank_fusion" -> ((s, dir) => {
+      // HYBRID-RETRIEVAL RANK FUSION — reciprocal rank fusion (Cormack,
+      // Clarke & Büttcher, SIGIR 2009): rrf(d) = Σ_lists 1/(60 + rank_d),
+      // the standard way a BM25 list and an ANN list merge into one
+      // ranking. Exact micro-integer form floor(10⁶/(60+rank)) so the
+      // fused score is hash-identical cross-engine. The two retrievers
+      // here are quality-ranked and length-ranked per-lang top-10 lists
+      // (stand-ins for the engine's q_bm25/q_knn_* retrievers — the
+      // operator under test is the FUSION). Scale shape: each list is
+      // bounded by the map-side-combining TopKAgg (never a corpus-wide
+      // window); the fusion outer join and final re-rank see only the
+      // ≤ 20-rows-per-group fused relation — bounded by construction.
+      val topq = udaf(new graft.functions.TopKAgg(10),
+        graft.functions.TopKAgg.scoredEncoder)
+      val base = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          round(TF.qualityScore(col("text")), 4).as("quality"),
+          col("n_chars").cast("double").as("len_score"))
+      def list(scoreCol: String, out: String): DataFrame = base
+        .groupBy(col("lang"))
+        .agg(topq(col("doc_id"), col(scoreCol)).as("tops"))
+        .select(col("lang"), posexplode(col("tops")).as(Seq("pos", "doc_id")))
+        .select(col("lang"), col("doc_id"),
+          expr("1000000 div (61 + pos)").as(out)) // pos 0-based ⇒ 60 + rank
+      list("quality", "rrf_a")
+        .join(list("len_score", "rrf_b"), Seq("lang", "doc_id"), "full_outer")
+        .withColumn("rrf_u",
+          coalesce(col("rrf_a"), lit(0L)) + coalesce(col("rrf_b"), lit(0L)))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("rrf_u").desc, col("doc_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("doc_id"), col("rrf_u"))
+    }),
+
+    "q_ndcg_eval" -> ((s, dir) => {
+      // RETRIEVAL-QUALITY EVAL — nDCG@5 of the IVF ANN ranking against the
+      // exact-cosine ranking (the A9 eval-metrics discipline applied to
+      // the retrieval family; complements IvfRecallSpec's recall floor
+      // with the POSITION-sensitive metric). Graded relevance
+      // rel(d) = 6 − exact_rank(d), 0 outside the exact top-5; discount
+      // gains 10⁶/log₂(i+1) are micro-integer literals computed ONCE in
+      // Scala and interpolated into BOTH engines (the HllLinearCount
+      // discipline — neither engine evaluates its own log), so dcg/ndcg
+      // are integer-exact. Scale shape: the approx side is the pruned IVF
+      // plan; the exact side is the brute-force twin restricted to the
+      // bounded query fixture (an eval set, small by nature).
+      VF.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), VF.l2NormF(col("embedding")).as("nrm"))
+      val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe2"),
+          col("nrm").as("qnrm"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+      val exact = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("query_id"))
+        .withColumn("sim", VF.dotF(col("embedding"), col("qe2")) / (col("nrm") * col("qnrm")))
+        .withColumn("erk", row_number().over(w)).filter(col("erk") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("erk"))
+      knnIvf(s, dir, nprobe = 2)
+        .join(exact, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("rel", coalesce(lit(6) - col("erk"), lit(0)).cast("long"))
+        .withColumn("g",
+          element_at(array(NdcgGains.map(lit(_)): _*), col("rk")) * col("rel"))
+        .groupBy(col("query_id"))
+        .agg(sum(col("g")).cast("long").as("dcg_u"))
+        .withColumn("idcg_u", lit(NdcgIdcg))
+        .withColumn("ndcg_milli", expr("(1000 * dcg_u) div idcg_u"))
+    }),
+
     "x_lang_id" -> ((s, dir) => {
       // classifier-argmax demo over a broadcast profile table (J1 shape);
       // a UDF is acceptable here: the kernel is the operator being demoed,
@@ -3263,6 +3331,15 @@ object SparkEntry {
         bucketedFixtureDir.put(s, dir)
       }
     }
+
+  /** nDCG@5 discount gains floor(10⁶ / log₂(i+1)), i = 1..5, and the ideal
+    * DCG for graded relevance (5,4,3,2,1) — computed ONCE here and
+    * interpolated into both engines as integer literals (the HllAlphaM2 /
+    * HllLinearCount cross-engine discipline: no engine-local log). */
+  private val NdcgGains: Seq[Long] =
+    (1 to 5).map(i => math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+  private val NdcgIdcg: Long =
+    NdcgGains.zipWithIndex.map { case (g, i) => g * (5 - i) }.sum
 
   /** q_domain_rank's oracle: the same 4 PageRank iterations unrolled as
     * chained CTEs (generated by the same loop bound as the Spark side —
@@ -4475,6 +4552,61 @@ object SparkEntry {
            FROM t)
          SELECT user_id AS conv_id, event_id AS turn_id, n_tok, cum_tok
          FROM c WHERE cum_tok <= 48""",
+
+    "q_rank_fusion" ->
+      s"""WITH d AS (SELECT lang, doc_id, text,
+             string_split_regex(trim(text), ' +') AS w, n_chars FROM documents),
+         la AS (SELECT lang, doc_id, 1000000 // (60 + rn) AS rrf_a FROM (
+             SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+               ORDER BY $oQualityExpr DESC, doc_id) AS rn FROM d)
+           WHERE rn <= 10),
+         lb AS (SELECT lang, doc_id, 1000000 // (60 + rn) AS rrf_b FROM (
+             SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+               ORDER BY n_chars::DOUBLE DESC, doc_id) AS rn FROM d)
+           WHERE rn <= 10),
+         f AS (SELECT coalesce(la.lang, lb.lang) AS lang,
+             coalesce(la.doc_id, lb.doc_id) AS doc_id,
+             (coalesce(rrf_a, 0) + coalesce(rrf_b, 0))::BIGINT AS rrf_u
+           FROM la FULL JOIN lb ON la.lang = lb.lang AND la.doc_id = lb.doc_id)
+         SELECT lang, CAST(rk AS INT) AS rk, doc_id, rrf_u FROM (
+           SELECT lang, doc_id, rrf_u, row_number() OVER (PARTITION BY lang
+             ORDER BY rrf_u DESC, doc_id) AS rk FROM f)
+         WHERE rk <= 5""",
+
+    "q_ndcg_eval" -> {
+      val gainCase = NdcgGains.zipWithIndex
+        .map { case (g, i) => s"WHEN ${i + 1} THEN $g" }.mkString(" ")
+      s"""WITH $oIvfCtes,
+         q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qnrm, qv
+           FROM qz WHERE vec_id >= 100 AND vec_id < 110),
+         probes AS (SELECT query_id, qe, qnrm, cent_id FROM (
+           SELECT q.query_id, q.qe, q.qnrm, c.cent_id,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY ${oD2("q.qv", "c.cv")}, c.cent_id) AS rk
+           FROM q CROSS JOIN c$IvfIters c) WHERE rk <= 2),
+         approx AS (SELECT query_id, rk, neighbor_id FROM (
+           SELECT p.query_id, a.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY ${oDot("a.embedding", "p.qe")} / (a.nrm * p.qnrm) DESC,
+                 a.vec_id) AS rk
+           FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+           WHERE a.vec_id <> p.query_id) WHERE rk <= 5),
+         exact AS (SELECT query_id, neighbor_id, erk FROM (
+           SELECT q.query_id, a.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY ${oDot("a.embedding", "q.qe")} / (a.nrm * q.qnrm) DESC,
+                 a.vec_id) AS erk
+           FROM qz a CROSS JOIN q WHERE a.vec_id <> q.query_id) WHERE erk <= 5),
+         j AS (SELECT ap.query_id, ap.rk,
+             coalesce(6 - ex.erk, 0)::BIGINT AS rel
+           FROM approx ap LEFT JOIN exact ex
+             ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id)
+         SELECT query_id,
+           sum(rel * CASE rk $gainCase END)::BIGINT AS dcg_u,
+           $NdcgIdcg::BIGINT AS idcg_u,
+           ((1000 * sum(rel * CASE rk $gainCase END)::BIGINT) // $NdcgIdcg)::BIGINT AS ndcg_milli
+         FROM j GROUP BY query_id"""
+    },
 
     "x_lang_id" -> oLangIdPerDoc
   )

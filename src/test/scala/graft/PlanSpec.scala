@@ -601,6 +601,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("Window"), p)
   }
 
+  test("rank fusion: each retriever list is the map-side-combining TopKAgg " +
+    "(bounded), never a corpus-wide window; fusion join is hash-joinable") {
+    val p = planOf("q_rank_fusion")
+    assert(p.toLowerCase.contains("partial_topkagg"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only Window ranks the fused ≤20-rows-per-group relation — it
+    // must sit ABOVE both TopKAgg aggregations in the plan
+    assert(p.indexOf("Window") < p.indexOf("ObjectHashAggregate"), p)
+  }
+
+  test("nDCG eval: approx side stays the pruned IVF equi-join; gains are " +
+    "literal integers (no engine-local log); final agg partial-aggregates") {
+    val p = planOf("q_ndcg_eval")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.toLowerCase.contains("log("), p)
+  }
+
   test("whole-stage codegen covers the relational operator queries") {
     // executedPlan.toString marks codegen'd subtrees with "*(n)"; under AQE
     // the final plan only materializes after execution
