@@ -25,7 +25,10 @@ object PlanDump {
       "q_semantic_dedup", "q_dedup_survivor", "q_knn_pq", "q_skew_join",
       "q_topk_agg", "q_bm25", "q_dsir_weight", "q_bigram_lm",
       "q_kmv_intersect", "q_priority_sample", "q_pmi_pairs", "q_funnel",
-      "q_curate_e2e", "q_bpe_train", "q_bpe_apply", "q_hard_negatives")
+      "q_curate_e2e", "q_bpe_train", "q_bpe_apply", "q_hard_negatives",
+      "q_c4_rules", "q_domain_rank", "q_embed_meanpool", "q_sft_pairs",
+      "q_dpo_pairs", "q_anomaly_mad", "q_conv_budget", "q_rank_fusion",
+      "q_ndcg_eval")
     val sb = new StringBuilder
     sb.append("# BENCH/PLANS — formatted physical plans (auto-written by graft.tools.PlanDump)\n\n")
     sb.append("Source of truth for these shapes is `PlanSpec` (asserted in CI);\n")
