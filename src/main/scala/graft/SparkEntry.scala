@@ -2968,6 +2968,51 @@ object SparkEntry {
         .withColumn("ndcg_milli", expr("(1000 * dcg_u) div idcg_u"))
     }),
 
+    "q_containment" -> ((s, dir) => {
+      // ASYMMETRIC near-dup — shingle CONTAINMENT C(A,B) = |A∩B| / |A|
+      // (Broder 1997's second resemblance measure): catches a short
+      // document quoted/embedded inside a longer one, where Jaccard stays
+      // low and the symmetric dedup family is blind (the quote-detection /
+      // partial-copy face of decontamination). The corpus has no organic
+      // quotes, so QUOTE documents are injected (fixture discipline):
+      // every 10th doc contributes its 40-token prefix under a shifted id.
+      // Scale shape = q_dedup_jaccard's inverted index: posting lists with
+      // the df cap, pair enumeration only within capped lists — only docs
+      // sharing a rare shingle ever meet; containment is then integer
+      // division over the capped shingle sets, both directions, keep
+      // pairs where either direction ≥ 0.5.
+      SF.register(s)
+      val base = fanOut(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          TF.tokens(col("text")).as("w"))
+      val quotes = base.filter(pmod(col("doc_id"), lit(10L)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          col("source"), expr("slice(w, 1, 40)").as("w"))
+      val docs = base.unionByName(quotes)
+        .select(col("doc_id"), col("lang"), col("source"),
+          SF.shinglesF(col("w")).as("sh"))
+      val posting = docs
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(col("sh")).as("shingle"))
+        .groupBy(col("shingle"), col("lang"), col("source"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) <= JaccardMaxDf)
+      val sizes = posting.select(explode(col("ids")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = posting.filter(size(col("ids")) >= 2)
+        .select(explode(SF.sortedPairs(col("ids"))).as("p"))
+        .groupBy(col("p.a").cast("long").as("id_a"), col("p.b").cast("long").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("ca"), col("id_a") === col("ca.doc_id"))
+        .join(sizes.as("cb"), col("id_b") === col("cb.doc_id"))
+        .withColumn("c_ab", col("inter").cast("double") / col("ca.n"))
+        .withColumn("c_ba", col("inter").cast("double") / col("cb.n"))
+        .filter(col("c_ab") >= 0.5 || col("c_ba") >= 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("c_ab"), 4).as("c_ab"), round(col("c_ba"), 4).as("c_ba"))
+    }),
+
     "x_lang_id" -> ((s, dir) => {
       // classifier-argmax demo over a broadcast profile table (J1 shape);
       // a UDF is acceptable here: the kernel is the operator being demoed,
@@ -4607,6 +4652,30 @@ object SparkEntry {
            ((1000 * sum(rel * CASE rk $gainCase END)::BIGINT) // $NdcgIdcg)::BIGINT AS ndcg_milli
          FROM j GROUP BY query_id"""
     },
+
+    "q_containment" ->
+      s"""WITH b AS (SELECT doc_id, lang, source,
+             string_split_regex(trim(text), ' +') AS w FROM documents),
+          u AS (SELECT * FROM b
+                UNION ALL
+                SELECT doc_id + 1000000, lang, source, w[1:40] FROM b
+                WHERE doc_id % 10 = 0),
+          s AS (SELECT doc_id, lang, source, $oShingles AS sh FROM u),
+          ex AS (SELECT doc_id, lang, source, unnest(sh) AS shingle FROM s),
+          dfc AS (SELECT shingle, lang, source, count(*) AS df FROM ex GROUP BY shingle, lang, source),
+          rare AS (SELECT ex.doc_id, ex.lang, ex.source, ex.shingle
+            FROM ex JOIN dfc USING(shingle, lang, source) WHERE df <= $JaccardMaxDf),
+          sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.lang = b.lang
+              AND a.source = b.source AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT id_a, id_b, round(c_ab, 4) AS c_ab, round(c_ba, 4) AS c_ba FROM (
+            SELECT id_a, id_b, inter::DOUBLE / ca.n AS c_ab,
+              inter::DOUBLE / cb.n AS c_ba
+            FROM inter JOIN sizes ca ON id_a = ca.doc_id
+              JOIN sizes cb ON id_b = cb.doc_id)
+          WHERE c_ab >= 0.5 OR c_ba >= 0.5""",
 
     "x_lang_id" -> oLangIdPerDoc
   )

@@ -619,6 +619,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.toLowerCase.contains("log("), p)
   }
 
+  test("containment (asymmetric near-dup) keeps the inverted-index shape: " +
+    "no all-pairs join, pair enumeration only within df-capped posting lists") {
+    val p = planOf("q_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("hashpartitioning") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("sorted_pairs"), p)
+  }
+
   test("whole-stage codegen covers the relational operator queries") {
     // executedPlan.toString marks codegen'd subtrees with "*(n)"; under AQE
     // the final plan only materializes after execution
