@@ -3013,6 +3013,32 @@ object SparkEntry {
           round(col("c_ab"), 4).as("c_ab"), round(col("c_ba"), 4).as("c_ba"))
     }),
 
+    "q_cluster_purity" -> ((s, dir) => {
+      // QUANTIZER-QUALITY EVAL — cluster purity of the trained coarse
+      // quantizer against the labeled embeddings (the A9 eval-metrics
+      // face for the clustering family, beside recall@5/IvfRecallSpec and
+      // nDCG/q_ndcg_eval for retrieval): per cluster, the majority
+      // label's share in integer milli-purity. Scale shape: assignment is
+      // the shared partial-agg'd argmin (ivfNearestMap — no corpus-sized
+      // broadcast); everything after is two grouped aggregates whose
+      // second input is the bounded k×|labels| relation. Majority
+      // election is max_by over a UNIQUE packed key (count·10³ − label) —
+      // window-free, deterministic ties (lowest label wins).
+      VF.register(s)
+      val e = t(s, dir, "embeddings")
+      val qz = ivfQuantized(e.select(col("vec_id"), col("embedding")))
+      val cents = ivfTrainCentroids(s, qz)
+      val assign = ivfNearestMap(qz.select(col("vec_id"), col("qv")), "vec_id", cents)
+      assign.join(e.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("cent_id"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("packed", col("c") * 1000L - col("label"))
+        .groupBy(col("cent_id"))
+        .agg(sum(col("c")).cast("long").as("n"),
+          max_by(col("label"), col("packed")).as("top_label"),
+          max_by(col("c"), col("packed")).cast("long").as("top_n"))
+        .withColumn("purity_milli", expr("(1000 * top_n) div n"))
+    }),
+
     "x_lang_id" -> ((s, dir) => {
       // classifier-argmax demo over a broadcast profile table (J1 shape);
       // a UDF is acceptable here: the kernel is the operator being demoed,
@@ -4676,6 +4702,18 @@ object SparkEntry {
             FROM inter JOIN sizes ca ON id_a = ca.doc_id
               JOIN sizes cb ON id_b = cb.doc_id)
           WHERE c_ab >= 0.5 OR c_ba >= 0.5""",
+
+    "q_cluster_purity" ->
+      s"""WITH $oIvfCtes,
+         cl AS (SELECT a.cent_id, e.label, count(*)::BIGINT AS c
+           FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+           GROUP BY 1, 2),
+         p AS (SELECT cent_id, label, c, c * 1000 - label AS packed FROM cl)
+         SELECT cent_id, sum(c)::BIGINT AS n,
+           max_by(label, packed) AS top_label,
+           max_by(c, packed)::BIGINT AS top_n,
+           ((1000 * max_by(c, packed)) // sum(c))::BIGINT AS purity_milli
+         FROM p GROUP BY cent_id""",
 
     "x_lang_id" -> oLangIdPerDoc
   )

@@ -627,6 +627,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("sorted_pairs"), p)
   }
 
+  test("cluster purity: assignment is the partial-agg'd argmin (no corpus " +
+    "broadcast); majority election is window-free max_by") {
+    val df = SparkEntry.queries("q_cluster_purity")(spark, sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_min") || p.contains("partial_max"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the relational operator queries") {
     // executedPlan.toString marks codegen'd subtrees with "*(n)"; under AQE
     // the final plan only materializes after execution
