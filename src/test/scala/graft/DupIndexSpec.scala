@@ -152,4 +152,43 @@ class DupIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(replay == Set(5000001L))
     assert(runFiles() == afterFirst, "replayed batch must not rewrite the run")
   }
+
+  test("streaming wiring: foreachBatch(ingestBatch) keeps the index " +
+    "continuously deduped across micro-batches — an indexed dup never " +
+    "lands, and a later batch dedups against an EARLIER batch's survivors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("dupidx5").toString
+    val corpus = docs.filter(col("doc_id") < 50)
+    val idx = DupIndex.build(spark, corpus, s"$dir/idx")
+
+    val t0 = docs.filter(col("doc_id") === 0).head().getString(1)
+    val t400 = docs.filter(col("doc_id") === 400).head().getString(1)
+    val stream = MemoryStream[(Long, String)]
+    val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, id) => {
+        idx.ingestBatch(batch.sparkSession,
+          batch.toDF("doc_id", "text"), id, minEst = 0.99)
+        ()
+      }
+    val q = stream.toDS().toDF().writeStream
+      .foreachBatch(fn)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // batch 0: a copy of indexed doc 0 (must be dropped) + a new doc
+    stream.addData((6000000L, t0), (6000001L, t400))
+    q.processAllAvailable()
+    // batch 1: a copy of batch 0's SURVIVOR (must be dropped against it)
+    stream.addData((6000002L, t400))
+    q.processAllAvailable()
+    q.stop()
+
+    val resident = spark.read.parquet(s"$dir/idx/lists")
+      .select("doc_id").distinct()
+      .filter(col("doc_id") >= 6000000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(resident == Set(6000001L), resident)
+  }
 }
