@@ -108,7 +108,8 @@ object ScaleProbe {
   }
 
   // order matters: q_simhash_pairs before q_dedup_components so the shared
-  // edge-pipeline codegen is warm when the fixpoint runs (mirrors the bench)
+  // edge-pipeline codegen is warm when the fixpoint runs (the bench gets
+  // the same effect from its untimed small-SF warm-up pass)
   private val DefaultQueries = Seq(
     "q_text_stats", "q_repetition_quality", "q_unigram_lm", "q_tfidf_topterms",
     "q_winnow_fp", "q_paragraph_dedup", "q_dedup_exact", "q_fingerprint",
