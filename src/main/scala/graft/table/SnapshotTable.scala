@@ -205,10 +205,31 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     }
     val snapId = parent + 1
     Files.createDirectories(manifestsDir)
+    // OPTIMISTIC CONCURRENCY (the Iceberg commit-CAS analog on a plain
+    // filesystem): CLAIM the snapshot id with an atomic exclusive create
+    // before writing anything. Two committers that both read parent = N
+    // both want snap N+1 — exactly one create succeeds; the loser throws a
+    // retryable conflict instead of silently clobbering the winner's
+    // manifest (the pre-guard behavior: REPLACE_EXISTING + last-wins
+    // CURRENT swing = lost commits). The winner owns the id through the
+    // CURRENT swing below, so no re-check is needed there. A committer
+    // that CRASHES between claim and swing leaves a claimed-but-unpublished
+    // manifest blocking its id — [[removeOrphanManifests]] is the age-gated
+    // reclaim (same posture as removeOrphanFiles for data).
+    val target = manifestsDir.resolve(s"snap-$snapId.json")
+    try Files.createFile(target)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new SnapshotTable.CommitConflictException(
+          s"concurrent commit on $dir: snapshot id $snapId is already " +
+            s"claimed while CURRENT is $parent. Re-read and retry; if a " +
+            "committer crashed between claiming and publishing, reclaim " +
+            "stale claims with removeOrphanManifests(olderThanMs).")
+    }
     val lines = (prev ++ newEntries).sortBy(_.bucket).map(entryJson(snapId, parent, _))
     val tmpM = manifestsDir.resolve(s"snap-$snapId.json.tmp")
     Files.writeString(tmpM, lines.mkString("\n"))
-    Files.move(tmpM, manifestsDir.resolve(s"snap-$snapId.json"),
+    Files.move(tmpM, target,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
 
     // 4. CURRENT LAST (atomic pointer swing — the commit point).
@@ -403,6 +424,10 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
   def snapshotIds: Seq[Long] =
     if (!Files.exists(manifestsDir)) Seq.empty
     else listDir(manifestsDir)
+      // a zero-length manifest is a CLAIM from an in-flight (or crashed)
+      // committer, not a snapshot — invisible to readers/GC until
+      // published (removeOrphanManifests reclaims crashed claims)
+      .filter(p => Files.size(p) > 0)
       .map(_.getFileName.toString)
       .collect { case SnapshotTable.SnapName(id) => id.toLong }
       .sorted
@@ -511,6 +536,31 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     * older than the horizon are collected.
     *
     * @return deleted bucket file-set paths. */
+  /** Reclaim snapshot ids CLAIMED by committers that crashed between the
+    * exclusive claim and the CURRENT swing (see the optimistic-concurrency
+    * note in commit): a claimed-but-unpublished manifest blocks its id for
+    * every future committer. Deletes manifest files with id > CURRENT whose
+    * mtime is older than the horizon — the age gate protects an in-flight
+    * commit, exactly like [[removeOrphanFiles]] protects in-flight data.
+    * Never touches ids ≤ CURRENT (committed history / time travel). */
+  def removeOrphanManifests(olderThanMillis: Long): Seq[String] = {
+    if (!Files.exists(manifestsDir)) return Seq.empty
+    val cur = currentSnapshotId.getOrElse(-1L)
+    val horizon = System.currentTimeMillis() - olderThanMillis
+    val SnapName = "snap-(\\d+)\\.json".r
+    val it = Files.list(manifestsDir)
+    try {
+      it.iterator.asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case SnapName(id) if id.toLong > cur &&
+              Files.getLastModifiedTime(p).toMillis < horizon =>
+            Files.delete(p); Some(p.toString)
+          case _ => None
+        }
+      }.toList
+    } finally it.close()
+  }
+
   def removeOrphanFiles(spark: SparkSession, olderThanMillis: Long): Seq[String] = {
     val dataDir = Paths.get(dir, "data")
     if (!Files.exists(dataDir)) return Seq.empty
@@ -643,6 +693,12 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
 }
 
 object SnapshotTable {
+
+  /** A concurrent committer claimed this snapshot id first — re-read the
+    * table and retry (the optimistic-concurrency loser path; never thrown
+    * by replays, which are detected earlier via runId). */
+  final class CommitConflictException(msg: String)
+    extends IllegalStateException(msg)
   private val SnapName = """snap-(\d+)\.json""".r
   private val BucketsField = """"buckets":(\d+)""".r
   private val BucketField = """"bucket":(\d+)""".r

@@ -612,4 +612,42 @@ class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
     assert(table.removeOrphanFiles(spark, olderThanMillis = 60000).isEmpty)
     assert(rows(table.read(spark)) == before)
   }
+
+  test("optimistic concurrency: a racing claim on the next snapshot id makes " +
+    "the loser THROW (no silent clobber); a crashed claim is invisible to " +
+    "readers and reclaimed age-gated by removeOrphanManifests") {
+    val dir = Files.createTempDirectory("snap_occ").toString
+    val table = new SnapshotTable(dir, numBuckets = 4)
+    val turns = TranscriptGen.dataset(spark, seed, nConvs = 20, hotBase = 40)
+    assert(ExtractJob.runIncremental(spark, table, turns, runId = "occA").contains(0L))
+    val before = table.read(spark).count()
+
+    // a concurrent committer (same parent = 0) claims snap 1 and "crashes"
+    // before publishing
+    val claim = java.nio.file.Paths.get(dir, "manifests", "snap-1.json")
+    Files.createFile(claim)
+
+    val more = TranscriptGen.dataset(spark, seed + 1, nConvs = 10, hotBase = 20)
+    // append semantics (the streaming-sink rule): the loser must not
+    // replace the winner's buckets once the conflict is resolved
+    val extracted = graft.pipe.ExtractPipeline.extract(spark, more)
+    val moreCount = extracted.count()
+    intercept[SnapshotTable.CommitConflictException] {
+      table.commit(spark, extracted, runId = "occB", replaceBuckets = false)
+    }
+    // the loser changed NOTHING: CURRENT, readers, and the snapshot list
+    assert(table.currentSnapshotId.contains(0L))
+    assert(table.read(spark).count() == before)
+    assert(table.snapshotIds == Seq(0L), "an unpublished claim must be invisible")
+
+    // a fresh claim inside the horizon is protected (may be in flight) …
+    assert(table.removeOrphanManifests(olderThanMillis = 60000).isEmpty)
+    // … past the horizon it is reclaimed, and the blocked commit succeeds
+    assert(table.removeOrphanManifests(olderThanMillis = 0L)
+      == Seq(claim.toString))
+    assert(table.commit(spark, extracted, runId = "occB",
+      replaceBuckets = false).contains(1L))
+    assert(table.read(spark).count() == before + moreCount)
+    assert(table.readAt(spark, 0L).count() == before) // time travel intact
+  }
 }
