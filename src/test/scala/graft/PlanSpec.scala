@@ -607,8 +607,12 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.toLowerCase.contains("partial_topkagg"), p)
     assert(!p.contains("CartesianProduct"), p)
     // the only Window ranks the fused ≤20-rows-per-group relation — it
-    // must sit ABOVE both TopKAgg aggregations in the plan
-    assert(p.indexOf("Window") < p.indexOf("ObjectHashAggregate"), p)
+    // must sit ABOVE both TopKAgg aggregations in the plan (root prints
+    // first); indexOf of a MISSING marker would be -1 and pass vacuously,
+    // so presence is asserted first
+    val iw = p.indexOf("Window"); val ia = p.indexOf("ObjectHashAggregate")
+    assert(iw >= 0 && ia >= 0, p)
+    assert(iw < ia, p)
   }
 
   test("nDCG eval: approx side stays the pruned IVF equi-join; gains are " +
