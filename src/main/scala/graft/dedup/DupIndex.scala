@@ -65,6 +65,31 @@ final class DupIndex private (val dir: String) {
       .select(col("probe_id"), col("index_id"), col("est_jaccard"))
   }
 
+  /** EXISTENCE probe for the ingest gate: which batch docs near-duplicate
+    * ANY resident doc. Differs from [[probe]] in one skew-critical way:
+    * the index side is deduped to one witness per DISTINCT signature per
+    * bucket before the join. A bucket holding k byte-identical resident
+    * docs (the boilerplate hot key — built from a raw corpus, build()
+    * doesn't dedup) would otherwise fan each matching probe row into k
+    * candidate rows; the gate only needs ONE witness, and distinct
+    * signatures are preserved so no τ-match is ever lost. [[probe]] keeps
+    * full per-pair output (its contract is the candidate PAIRS). */
+  private def probeExists(s: SparkSession, docs: DataFrame, minEst: Double): DataFrame = {
+    val pb = bands(docs)
+    val cells = pb.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val lst = lists(s).filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .select(col("cell"), col("bkey"), col("doc_id").as("index_id"),
+        col("sig").as("isig"))
+      .dropDuplicates("cell", "bkey", "isig")
+    pb.select(col("cell"), col("bkey"),
+        col("doc_id").as("probe_id"), col("sig").as("psig"))
+      .join(lst, Seq("cell", "bkey"))
+      .filter(col("probe_id") =!= col("index_id"))
+      .filter(expr(
+        "cast(aggregate(zip_with(psig, isig, (a, b) -> IF(a = b, 1, 0)), 0, (acc, x) -> acc + x) AS DOUBLE) / cast(16 AS DOUBLE)") >= minEst)
+      .select(col("probe_id").as("doc_id")).distinct()
+  }
+
   /** Incremental add: signature + band the batch and write a new `run=`
     * file-set alongside the base lists (base files byte-untouched —
     * spec-asserted; duplicate runIds refused). */
@@ -86,7 +111,7 @@ final class DupIndex private (val dir: String) {
     * at-least-once delivery yields exactly-once index state. */
   def ingestBatch(s: SparkSession, docs: DataFrame, batchId: Long,
       minEst: Double): DataFrame = {
-    val vsIndex = probe(s, docs, minEst).select(col("probe_id").as("doc_id")).distinct()
+    val vsIndex = probeExists(s, docs, minEst)
     val pb = bands(docs)
     val inBatch = pb.select(col("cell"), col("bkey"),
         col("doc_id").as("id_a"), col("sig").as("psig"))
