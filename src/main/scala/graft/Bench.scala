@@ -213,7 +213,11 @@ object Bench {
         // memo is pre-cached (the memo is per (session, dir)).
         val warmDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_DIR",
           new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001").getPath)
-        if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory)
+        // never warm against the bench dir itself (benching sf0.001 would
+        // otherwise pre-cache the measured data and the fixpoint memo)
+        if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory &&
+            new java.io.File(warmDir).getCanonicalPath !=
+              new java.io.File(sfDir).getCanonicalPath)
           timed.foreach { case (_, fn) =>
             try fn(spark, warmDir).count() catch { case _: Throwable => () }
           }

@@ -74,8 +74,7 @@ final class DupIndex private (val dir: String) {
     * candidate rows; the gate only needs ONE witness, and distinct
     * signatures are preserved so no τ-match is ever lost. [[probe]] keeps
     * full per-pair output (its contract is the candidate PAIRS). */
-  private def probeExists(s: SparkSession, docs: DataFrame, minEst: Double): DataFrame = {
-    val pb = bands(docs)
+  private def probeExists(s: SparkSession, pb: DataFrame, minEst: Double): DataFrame = {
     val cells = pb.select("cell").distinct().collect().map(_.getInt(0)).sorted
     val lst = lists(s).filter(col("cell").isin(cells.map(Integer.valueOf): _*))
       .select(col("cell"), col("bkey"), col("doc_id").as("index_id"),
@@ -105,30 +104,43 @@ final class DupIndex private (val dir: String) {
     * q_semantic_dedup keep rule), append the survivors as
     * `run=batch-<id>`, and return them (the downstream write set).
     *
-    * REPLAY-SAFE: a redelivered batchId (its run directory already
-    * exists) skips the append — the same batchId-as-runId idempotence
-    * contract as the snapshot streaming sink, so foreachBatch's
-    * at-least-once delivery yields exactly-once index state. */
+    * REPLAY-SAFE: the idempotence marker is the writer's `_SUCCESS` file,
+    * NOT bare run-directory existence — Spark creates the directory
+    * before the write is durable, so a committer that crashed mid-append
+    * must re-append on redelivery (the partial directory is cleaned
+    * first). A redelivered COMPLETE batchId skips the append — the same
+    * batchId-as-runId idempotence contract as the snapshot streaming
+    * sink, so at-least-once delivery yields exactly-once index state. */
   def ingestBatch(s: SparkSession, docs: DataFrame, batchId: Long,
       minEst: Double): DataFrame = {
-    val vsIndex = probeExists(s, docs, minEst)
-    val pb = bands(docs)
-    val inBatch = pb.select(col("cell"), col("bkey"),
-        col("doc_id").as("id_a"), col("sig").as("psig"))
-      .join(pb.select(col("cell"), col("bkey"),
-        col("doc_id").as("id_b"), col("sig").as("isig")), Seq("cell", "bkey"))
-      .filter(col("id_a") > col("id_b")) // a has a LOWER-id neighbor b
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("est", expr(
-        "cast(aggregate(zip_with(psig, isig, (a, b) -> IF(a = b, 1, 0)), 0, (acc, x) -> acc + x) AS DOUBLE) / cast(16 AS DOUBLE)"))
-      .filter(col("est") >= minEst)
-      .select(col("id_a").as("doc_id")).distinct()
-    val survivors = docs
-      .join(vsIndex, Seq("doc_id"), "left_anti")
-      .join(inBatch, Seq("doc_id"), "left_anti")
-    if (!Files.exists(Paths.get(dir, "lists", s"run=batch-$batchId")))
-      append(s, survivors, s"batch-$batchId")
-    survivors
+    // ONE banding pass per batch: tokenize + shingle + 16-hash minhash is
+    // the expensive per-row work — computed once and shared by the index
+    // probe, the in-batch self-join, and the survivor append (unpersisted
+    // after the write; a caller re-consuming the returned survivors pays
+    // at most one recompute)
+    val pb = bands(docs).persist()
+    try {
+      val vsIndex = probeExists(s, pb, minEst)
+      val inBatch = pb.select(col("cell"), col("bkey"),
+          col("doc_id").as("id_a"), col("sig").as("psig"))
+        .join(pb.select(col("cell"), col("bkey"),
+          col("doc_id").as("id_b"), col("sig").as("isig")), Seq("cell", "bkey"))
+        .filter(col("id_a") > col("id_b")) // a has a LOWER-id neighbor b
+        .dropDuplicates("id_a", "id_b")
+        .withColumn("est", expr(
+          "cast(aggregate(zip_with(psig, isig, (a, b) -> IF(a = b, 1, 0)), 0, (acc, x) -> acc + x) AS DOUBLE) / cast(16 AS DOUBLE)"))
+        .filter(col("est") >= minEst)
+        .select(col("id_a").as("doc_id")).distinct()
+      val dupIds = vsIndex.union(inBatch).distinct()
+      val survivors = docs.join(dupIds, Seq("doc_id"), "left_anti")
+      val runDir = Paths.get(dir, "lists", s"run=batch-$batchId")
+      if (!Files.exists(runDir.resolve("_SUCCESS"))) {
+        if (Files.exists(runDir)) DupIndex.deleteRecursively(runDir)
+        DupIndex.writeBandRows(this,
+          pb.join(dupIds, Seq("doc_id"), "left_anti"), s"batch-$batchId")
+      }
+      survivors
+    } finally pb.unpersist()
   }
 }
 
@@ -174,8 +186,20 @@ object DupIndex {
 
   private def writeLists(s: SparkSession, idx: DupIndex,
       docs: DataFrame, runId: String): Unit =
-    bands(docs)
-      .select(col("cell"), col("bkey"), col("doc_id"), col("sig"))
+    writeBandRows(idx, bands(docs), runId)
+
+  /** Write pre-banded rows as one `run=` file-set (shared by the fresh
+    * path above and the ingest gate, which reuses its persisted bands). */
+  private[dedup] def writeBandRows(idx: DupIndex,
+      rows: DataFrame, runId: String): Unit =
+    rows.select(col("cell"), col("bkey"), col("doc_id"), col("sig"))
       .write.mode("errorifexists").partitionBy("cell")
       .parquet(s"${idx.dir}/lists/run=$runId")
+
+  private[dedup] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    val w = Files.walk(p)
+    try w.sorted(java.util.Comparator.reverseOrder())
+      .forEach(q => Files.delete(q))
+    finally w.close()
+  }
 }

@@ -72,9 +72,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   import graft.functions._
 
-  /** Name → builder for every native expression the engine ships. One list
-    * feeds both `injectFunction` (extension-built sessions) and the ad-hoc
-    * `register()` path, so the SQL and Scala surfaces cannot drift. */
+  /** Name → builder for every native expression the engine ships. Feeds
+    * `injectFunction` (extension-built sessions) and [[registerAll]] (the
+    * one-call ad-hoc path). The per-module `register()` helpers predate
+    * this list and maintain their own entries — prefer registerAll/
+    * extensions for full-surface registration. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "html_main_text" -> (es => HtmlMainText(es.head)),
     "text_fingerprint" -> (es => TextFingerprint(es.head)),
@@ -89,4 +91,12 @@ object GraftExtensions {
     "dot_f" -> (es => DotProductF(es(0), es(1))),
     "plane_sig" -> (es => PlaneSigF(es.head)),
     "winnow_fp" -> (es => WinnowF(es.head)))
+
+  /** Register the whole native surface on an already-built session (the
+    * ad-hoc twin of the extensions path, driven by the SAME list). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }

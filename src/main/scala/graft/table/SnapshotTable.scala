@@ -426,8 +426,14 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     else listDir(manifestsDir)
       // a zero-length manifest is a CLAIM from an in-flight (or crashed)
       // committer, not a snapshot — invisible to readers/GC until
-      // published (removeOrphanManifests reclaims crashed claims)
-      .filter(p => Files.size(p) > 0)
+      // published (removeOrphanManifests reclaims crashed claims). A file
+      // deleted between the listing and the stat (concurrent GC/reclaim —
+      // exactly what optimistic concurrency allows) counts as absent, not
+      // a crash.
+      .filter { p =>
+        try Files.size(p) > 0
+        catch { case _: java.nio.file.NoSuchFileException => false }
+      }
       .map(_.getFileName.toString)
       .collect { case SnapshotTable.SnapName(id) => id.toLong }
       .sorted
@@ -547,18 +553,14 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     if (!Files.exists(manifestsDir)) return Seq.empty
     val cur = currentSnapshotId.getOrElse(-1L)
     val horizon = System.currentTimeMillis() - olderThanMillis
-    val SnapName = "snap-(\\d+)\\.json".r
-    val it = Files.list(manifestsDir)
-    try {
-      it.iterator.asScala.flatMap { p =>
-        p.getFileName.toString match {
-          case SnapName(id) if id.toLong > cur &&
-              Files.getLastModifiedTime(p).toMillis < horizon =>
-            Files.delete(p); Some(p.toString)
-          case _ => None
-        }
-      }.toList
-    } finally it.close()
+    listDir(manifestsDir).flatMap { p =>
+      p.getFileName.toString match {
+        case SnapshotTable.SnapName(id) if id.toLong > cur &&
+            Files.getLastModifiedTime(p).toMillis < horizon =>
+          Files.delete(p); Some(p.toString)
+        case _ => None
+      }
+    }
   }
 
   def removeOrphanFiles(spark: SparkSession, olderThanMillis: Long): Seq[String] = {

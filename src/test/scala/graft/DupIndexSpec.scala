@@ -191,4 +191,32 @@ class DupIndexSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(resident == Set(6000001L), resident)
   }
+
+  test("crash-replay: a run directory WITHOUT _SUCCESS (committer died " +
+    "mid-append) is cleaned and re-appended on redelivery — bare directory " +
+    "existence is not the idempotence marker") {
+    val dir = Files.createTempDirectory("dupidx6").toString + "/idx"
+    val idx = DupIndex.build(spark, docs.filter(col("doc_id") < 50), dir)
+    // simulate the crash residue a dying writer actually leaves: the run
+    // directory with an in-flight _temporary tree and no _SUCCESS
+    // (underscore-prefixed entries are invisible to partition discovery,
+    // so concurrent probes keep working over the residue)
+    val partial = Paths.get(dir, "lists", "run=batch-9")
+    Files.createDirectories(partial.resolve("_temporary"))
+    Files.writeString(partial.resolve("_temporary").resolve("junk"), "residue")
+
+    val batch = docs.filter(col("doc_id") === 400)
+      .select((col("doc_id") + 7000000L).as("doc_id"), col("text"))
+    val survivors = idx.ingestBatch(spark, batch, batchId = 9L, minEst = 0.99)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(7000400L))
+    assert(Files.exists(partial.resolve("_SUCCESS")), "re-append must complete")
+    assert(!Files.exists(partial.resolve("_temporary").resolve("junk")),
+      "crash residue must be cleaned")
+    // the survivor is resident after the recovery
+    val hit = idx.probe(spark, batch.select(
+      (col("doc_id") + 1L).as("doc_id"), col("text")), minEst = 0.99)
+      .filter(col("index_id") === 7000400L).collect()
+    assert(hit.nonEmpty)
+  }
 }

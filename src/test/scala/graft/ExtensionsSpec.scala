@@ -60,6 +60,17 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("registerAll registers the same surface on an already-built session " +
+    "(the ad-hoc twin, driven by the same list)") {
+    GraftExtensions.registerAll(spark)
+    GraftExtensions.functions.foreach { case (name, _) =>
+      assert(spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier(name)), s"missing: $name")
+    }
+    val fp = spark.sql("SELECT text_fingerprint('abc') AS fp").head().getLong(0)
+    assert(fp == graft.functions.TextFingerprint.compute("abc"))
+  }
+
   test("the optimizer rule rides in through the same extensions switch") {
     withExtSession { ext =>
       // a real scan, not VALUES — literal inputs would be constant-folded
