@@ -76,8 +76,7 @@ object BloomSketch {
   def agg(c: Column): Column = udaf(new BloomAgg, Encoders.scalaLong).apply(c)
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_maybe", exprs => BloomMaybe(exprs(0), exprs(1)), "built-in")
+    NativeFunctions.registerAll(spark) // one shared list — cannot drift
 
   def maybe(spark: SparkSession, blob: Column, key: Column): Column = {
     register(spark)

@@ -61,8 +61,7 @@ object HtmlMainText {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "html_main_text", exprs => HtmlMainText(exprs.head), "built-in")
+    NativeFunctions.registerAll(spark) // one shared list — cannot drift
 
   def apply(c: Column)(implicit spark: SparkSession): Column = {
     register(spark)

@@ -236,16 +236,8 @@ object SortedPairsL {
 }
 
 object ShingleFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_pairs", exprs => SortedPairsL(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingles_f", exprs => ShinglesF(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSigF(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_sig", exprs => SimHashSigF(exprs.head), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    NativeFunctions.registerAll(spark) // one shared list — cannot drift
 
   def shinglesF(c: Column): Column =
     org.apache.spark.sql.functions.call_function("shingles_f", c)

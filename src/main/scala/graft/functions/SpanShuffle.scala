@@ -87,12 +87,8 @@ object SpanShuffle {
     new GenericArrayData(out)
   }
 
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "spans_slim", exprs => SlimSpans(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "spans_fatten", exprs => FattenSpans(exprs(0), exprs(1)), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    NativeFunctions.registerAll(spark) // one shared list — cannot drift
 
   def slim(spans: Column): Column =
     org.apache.spark.sql.functions.call_function("spans_slim", spans)

@@ -58,8 +58,7 @@ object TextFingerprint {
 
   /** Register for SQL + Column use; returns a Column builder. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "text_fingerprint", exprs => TextFingerprint(exprs.head), "built-in")
+    NativeFunctions.registerAll(spark) // one shared list — cannot drift
 
   def apply(c: Column)(implicit spark: SparkSession): Column = {
     register(spark)

@@ -131,14 +131,8 @@ object SqDistL {
 }
 
 object VectorFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sqdist_l", exprs => SqDistL(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_f", exprs => DotProductF(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "plane_sig", exprs => PlaneSigF(exprs.head), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    NativeFunctions.registerAll(spark) // one shared list — cannot drift
 
   def dotF(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("dot_f", a, b)

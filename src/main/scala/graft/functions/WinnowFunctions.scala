@@ -119,6 +119,5 @@ object WinnowF {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_fp", exprs => WinnowF(exprs.head), "built-in")
+    NativeFunctions.registerAll(spark) // one shared list — cannot drift
 }

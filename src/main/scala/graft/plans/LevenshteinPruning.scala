@@ -70,33 +70,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  import graft.functions._
 
-  /** Name → builder for every native expression the engine ships. Feeds
-    * `injectFunction` (extension-built sessions) and [[registerAll]] (the
-    * one-call ad-hoc path). The per-module `register()` helpers predate
-    * this list and maintain their own entries — prefer registerAll/
-    * extensions for full-surface registration. */
-  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "html_main_text" -> (es => HtmlMainText(es.head)),
-    "text_fingerprint" -> (es => TextFingerprint(es.head)),
-    "sorted_pairs" -> (es => SortedPairsL(es.head)),
-    "shingles_f" -> (es => ShinglesF(es.head)),
-    "minhash_sig" -> (es => MinHashSigF(es.head)),
-    "simhash_sig" -> (es => SimHashSigF(es.head)),
-    "bloom_maybe" -> (es => BloomMaybe(es(0), es(1))),
-    "spans_slim" -> (es => SlimSpans(es.head)),
-    "spans_fatten" -> (es => FattenSpans(es(0), es(1))),
-    "sqdist_l" -> (es => SqDistL(es(0), es(1))),
-    "dot_f" -> (es => DotProductF(es(0), es(1))),
-    "plane_sig" -> (es => PlaneSigF(es.head)),
-    "winnow_fp" -> (es => WinnowF(es.head)))
+  /** The engine's native-expression surface — ONE list
+    * ([[graft.functions.NativeFunctions.all]]) drives injectFunction here,
+    * the per-module `register()` helpers, and `registerAll`, so the SQL
+    * and Scala surfaces cannot drift. */
+  def functions: Seq[(String, Seq[Expression] => Expression)] =
+    graft.functions.NativeFunctions.all
 
   /** Register the whole native surface on an already-built session (the
     * ad-hoc twin of the extensions path, driven by the SAME list). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
-    functions.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
-    }
+    graft.functions.NativeFunctions.registerAll(spark)
 }
