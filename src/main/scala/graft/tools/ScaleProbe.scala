@@ -118,7 +118,9 @@ object ScaleProbe {
     "q_dedup_embed_lsh", "q_semantic_dedup", "q_knn_ivf",
     "q_pq_encode", "q_knn_pq", "q_skew_join",
     "q_c4_rules", "q_domain_rank", "q_embed_meanpool",
-    "q_sft_pairs", "q_dpo_pairs", "q_anomaly_mad")
+    "q_sft_pairs", "q_dpo_pairs", "q_anomaly_mad",
+    "q_conv_budget", "q_rank_fusion", "q_ndcg_eval",
+    "q_containment", "q_cluster_purity")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
