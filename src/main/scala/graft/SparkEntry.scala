@@ -3039,6 +3039,43 @@ object SparkEntry {
         .withColumn("purity_milli", expr("(1000 * top_n) div n"))
     }),
 
+    "q_lsh_tuning" -> ((s, dir) => {
+      // LSH BANDING PARAMETER SWEEP — the S-curve tradeoff (MMDS §3.4)
+      // that decides a dedup deployment: for the SAME 16-hash signatures,
+      // 2×8 / 4×4 / 8×2 banding trade recall (more bands catch lower
+      // similarities) against candidate volume (more bands = more pairs
+      // to verify — the cost term at 100 TB). Per config: candidate-pair
+      // count, verified count (est ≥ 0.5 ⇔ ≥ 8 matching components —
+      // integer, no float threshold), precision in milli. Scale shape:
+      // per config nb banded EQUI-joins (never all-pairs) + two signature
+      // equi-joins for verification; the output is 3 rows.
+      val sig = minhashSignatures(s, dir, fan = true)
+      Seq((2, 8), (4, 4), (8, 2)).map { case (nb, nr) =>
+        val pairs = (0 until nb).map { j =>
+          val cond = (0 until nr)
+            .map(r => col(s"a.h${j * nr + r}") === col(s"b.h${j * nr + r}"))
+            .reduce(_ && _)
+          sig.as("a").join(sig.as("b"), cond && col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        }.reduce(_ unionByName _).distinct()
+        pairs
+          .join(sig.as("sa"), col("id_a") === col("sa.doc_id"))
+          .join(sig.as("sb"), col("id_b") === col("sb.doc_id"))
+          .withColumn("matches", (0 until minhashK)
+            .map(k => when(col(s"sa.h$k") === col(s"sb.h$k"), 1).otherwise(0))
+            .reduce(_ + _))
+          .agg(count(lit(1)).as("n_candidates"),
+            coalesce(sum(when(col("matches") >= 8, 1L).otherwise(0L)), lit(0L))
+              .as("n_verified"))
+          .select(lit(nb).cast("int").as("n_bands"),
+            lit(nr).cast("int").as("rows_per_band"),
+            col("n_candidates"), col("n_verified"))
+      }.reduce(_ unionByName _)
+        .withColumn("precision_milli",
+          when(col("n_candidates") === 0, 0L)
+            .otherwise(expr("(1000 * n_verified) div n_candidates")))
+    }),
+
     "x_lang_id" -> ((s, dir) => {
       // classifier-argmax demo over a broadcast profile table (J1 shape);
       // a UDF is acceptable here: the kernel is the operator being demoed,
@@ -4714,6 +4751,36 @@ object SparkEntry {
            max_by(c, packed)::BIGINT AS top_n,
            ((1000 * max_by(c, packed)) // sum(c))::BIGINT AS purity_milli
          FROM p GROUP BY cent_id""",
+
+    "q_lsh_tuning" -> {
+      val mins = (0 until minhashK).map(k =>
+        s"min((fp*${TF.hashA(k)} + ${TF.hashB(k)}) % ${TF.HashP}) AS h$k").mkString(", ")
+      val matches = (0 until minhashK)
+        .map(k => s"CASE WHEN sa.h$k = sb.h$k THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val perConfig = Seq((2, 8), (4, 4), (8, 2)).map { case (nb, nr) =>
+        val bandJoins = (0 until nb).map { j =>
+          val cond = (0 until nr)
+            .map(r => s"a.h${j * nr + r} = b.h${j * nr + r}").mkString(" AND ")
+          s"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND $cond"
+        }.mkString(" UNION ")
+        s"""SELECT $nb::INT AS n_bands, $nr::INT AS rows_per_band,
+              count(*)::BIGINT AS n_candidates,
+              coalesce(sum(CASE WHEN m >= 8 THEN 1 ELSE 0 END), 0)::BIGINT AS n_verified
+            FROM (SELECT p.id_a, p.id_b, $matches AS m
+              FROM ($bandJoins) p
+              JOIN sig sa ON p.id_a = sa.doc_id
+              JOIN sig sb ON p.id_b = sb.doc_id)"""
+      }.mkString(" UNION ALL ")
+      s"""WITH sh AS (SELECT doc_id, unnest($oShingles) AS shingle
+            FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents)),
+          f AS (SELECT doc_id, ${oFp("shingle")} AS fp FROM sh),
+          sig AS (SELECT doc_id, $mins FROM f GROUP BY doc_id)
+          SELECT n_bands, rows_per_band, n_candidates, n_verified,
+            CASE WHEN n_candidates = 0 THEN 0
+              ELSE (1000 * n_verified) // n_candidates END::BIGINT AS precision_milli
+          FROM ($perConfig)"""
+    },
 
     "x_lang_id" -> oLangIdPerDoc
   )
