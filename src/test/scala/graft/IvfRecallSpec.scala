@@ -110,4 +110,17 @@ class IvfRecallSpec extends AnyFunSuite with SparkTestBase {
     info(f"semantic-dedup drop recall = $recall%.3f over ${trueDups.size} true dups")
     assert(recall >= 0.2, f"recall $recall%.3f under floor 0.2")
   }
+
+  test("nDCG@5 floor: the IVF ranking is position-sensitive good, not just " +
+    "recall-good (q_ndcg_eval mean over the query fixture)") {
+    // measured mean 497 milli at sf0.001 (2-probe over k=16 cells); the
+    // floor is half that — same margin discipline as the recall floors.
+    // A degenerate quantizer (all-one-cluster, or probes missing the
+    // true neighborhood) lands near 0.
+    val rows = SparkEntry.queries("q_ndcg_eval")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val mean = rows.map(_.getAs[Long]("ndcg_milli")).sum.toDouble / rows.length
+    info(f"mean nDCG@5 = $mean%.0f milli over ${rows.length} queries")
+    assert(mean >= 250, f"mean nDCG $mean%.0f under floor 250")
+  }
 }
