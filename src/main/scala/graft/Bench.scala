@@ -219,7 +219,10 @@ object Bench {
             new java.io.File(warmDir).getCanonicalPath !=
               new java.io.File(sfDir).getCanonicalPath)
           timed.foreach { case (_, fn) =>
-            try fn(spark, warmDir).count() catch { case _: Throwable => () }
+            // NonFatal only: an OOM during warm-up must surface, not leave
+            // the timed loop benching a heap-exhausted JVM
+            try fn(spark, warmDir).count()
+            catch { case scala.util.control.NonFatal(_) => () }
           }
         val r = timed.map { case (name, fn) =>
           val t0 = System.nanoTime()

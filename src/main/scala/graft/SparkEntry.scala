@@ -3022,8 +3022,11 @@ object SparkEntry {
       // the shared partial-agg'd argmin (ivfNearestMap — no corpus-sized
       // broadcast); everything after is two grouped aggregates whose
       // second input is the bounded k×|labels| relation. Majority
-      // election is max_by over a UNIQUE packed key (count·10³ − label) —
-      // window-free, deterministic ties (lowest label wins).
+      // election is max_by over a UNIQUE packed key
+      // count·2³² + (2³¹−1 − label): collision-free for EVERY 32-bit
+      // label (a decimal base would collide once labels reach it), ties
+      // break to the lowest label; counts per (cluster,label) must stay
+      // < 2³¹ — beyond that, widen the election to a struct ordering.
       VF.register(s)
       val e = t(s, dir, "embeddings")
       val qz = ivfQuantized(e.select(col("vec_id"), col("embedding")))
@@ -3031,7 +3034,8 @@ object SparkEntry {
       val assign = ivfNearestMap(qz.select(col("vec_id"), col("qv")), "vec_id", cents)
       assign.join(e.select(col("vec_id"), col("label")), "vec_id")
         .groupBy(col("cent_id"), col("label")).agg(count(lit(1)).as("c"))
-        .withColumn("packed", col("c") * 1000L - col("label"))
+        .withColumn("packed",
+          col("c") * 4294967296L + (lit(2147483647L) - col("label")))
         .groupBy(col("cent_id"))
         .agg(sum(col("c")).cast("long").as("n"),
           max_by(col("label"), col("packed")).as("top_label"),
@@ -4745,7 +4749,8 @@ object SparkEntry {
          cl AS (SELECT a.cent_id, e.label, count(*)::BIGINT AS c
            FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
            GROUP BY 1, 2),
-         p AS (SELECT cent_id, label, c, c * 1000 - label AS packed FROM cl)
+         p AS (SELECT cent_id, label, c,
+             c * 4294967296 + (2147483647 - label) AS packed FROM cl)
          SELECT cent_id, sum(c)::BIGINT AS n,
            max_by(label, packed) AS top_label,
            max_by(c, packed)::BIGINT AS top_n,

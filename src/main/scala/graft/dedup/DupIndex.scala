@@ -79,11 +79,16 @@ final class DupIndex private (val dir: String) {
     val lst = lists(s).filter(col("cell").isin(cells.map(Integer.valueOf): _*))
       .select(col("cell"), col("bkey"), col("doc_id").as("index_id"),
         col("sig").as("isig"))
+      // exclude the batch's OWN ids BEFORE electing witnesses: a re-ingested
+      // resident doc must not have its own row picked as a bucket's sole
+      // witness (the self-pair filter below would then discard the only
+      // candidate and a true dup would slip through)
+      .join(pb.select(col("doc_id").as("index_id")).distinct(),
+        Seq("index_id"), "left_anti")
       .dropDuplicates("cell", "bkey", "isig")
     pb.select(col("cell"), col("bkey"),
         col("doc_id").as("probe_id"), col("sig").as("psig"))
-      .join(lst, Seq("cell", "bkey"))
-      .filter(col("probe_id") =!= col("index_id"))
+      .join(lst, Seq("cell", "bkey")) // self-pairs impossible: own ids excluded above
       .filter(expr(
         "cast(aggregate(zip_with(psig, isig, (a, b) -> IF(a = b, 1, 0)), 0, (acc, x) -> acc + x) AS DOUBLE) / cast(16 AS DOUBLE)") >= minEst)
       .select(col("probe_id").as("doc_id")).distinct()
@@ -118,6 +123,14 @@ final class DupIndex private (val dir: String) {
     // probe, the in-batch self-join, and the survivor append (unpersisted
     // after the write; a caller re-consuming the returned survivors pays
     // at most one recompute)
+    // CLEAN FIRST, scan second: a crashed append can leave VISIBLE
+    // part-files (task commits land before _SUCCESS). probeExists/lists
+    // snapshot the file listing when the read is constructed, so deleting
+    // residue after building the probe would make its scan read a stale
+    // listing and fail on the vanished files.
+    val runDir = Paths.get(dir, "lists", s"run=batch-$batchId")
+    val complete = Files.exists(runDir.resolve("_SUCCESS"))
+    if (!complete && Files.exists(runDir)) DupIndex.deleteRecursively(runDir)
     val pb = bands(docs).persist()
     try {
       val vsIndex = probeExists(s, pb, minEst)
@@ -133,12 +146,9 @@ final class DupIndex private (val dir: String) {
         .select(col("id_a").as("doc_id")).distinct()
       val dupIds = vsIndex.union(inBatch).distinct()
       val survivors = docs.join(dupIds, Seq("doc_id"), "left_anti")
-      val runDir = Paths.get(dir, "lists", s"run=batch-$batchId")
-      if (!Files.exists(runDir.resolve("_SUCCESS"))) {
-        if (Files.exists(runDir)) DupIndex.deleteRecursively(runDir)
+      if (!complete)
         DupIndex.writeBandRows(this,
           pb.join(dupIds, Seq("doc_id"), "left_anti"), s"batch-$batchId")
-      }
       survivors
     } finally pb.unpersist()
   }

@@ -217,26 +217,51 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     // manifest blocking its id — [[removeOrphanManifests]] is the age-gated
     // reclaim (same posture as removeOrphanFiles for data).
     val target = manifestsDir.resolve(s"snap-$snapId.json")
-    try Files.createFile(target)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new SnapshotTable.CommitConflictException(
-          s"concurrent commit on $dir: snapshot id $snapId is already " +
-            s"claimed while CURRENT is $parent. Re-read and retry; if a " +
-            "committer crashed between claiming and publishing, reclaim " +
-            "stale claims with removeOrphanManifests(olderThanMs).")
-    }
-    val lines = (prev ++ newEntries).sortBy(_.bucket).map(entryJson(snapId, parent, _))
-    val tmpM = manifestsDir.resolve(s"snap-$snapId.json.tmp")
-    Files.writeString(tmpM, lines.mkString("\n"))
-    Files.move(tmpM, target,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    def claim(retry: Boolean): Unit =
+      try Files.createFile(target)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // SELF-HEALING conflict path: a ZERO-LENGTH claim older than the
+          // grace window is a committer that died between claiming and
+          // publishing (a live committer publishes within the window; one
+          // that published left a NON-empty file). Reclaim inline and
+          // retry once — this is what lets a replayed streaming batch
+          // (same parent, same snapId) recover from its own crashed
+          // predecessor without a human running removeOrphanManifests.
+          val stale =
+            try retry && Files.size(target) == 0 &&
+              Files.getLastModifiedTime(target).toMillis <
+                System.currentTimeMillis() - SnapshotTable.ClaimGraceMs
+            catch { case _: java.nio.file.NoSuchFileException => retry }
+          if (stale) { Files.deleteIfExists(target); claim(retry = false) }
+          else throw new SnapshotTable.CommitConflictException(
+            s"concurrent commit on $dir: snapshot id $snapId is already " +
+              s"claimed while CURRENT is $parent. Re-read and retry; if a " +
+              "committer crashed between claiming and publishing, reclaim " +
+              "stale claims with removeOrphanManifests(olderThanMs).")
+      }
+    claim(retry = true)
+    // From here the claim is OURS: any failure before the CURRENT swing
+    // must release it, or this committer's own retry/replay (same parent ⇒
+    // same snapId) would wedge on its own abandoned claim.
+    try {
+      val lines = (prev ++ newEntries).sortBy(_.bucket).map(entryJson(snapId, parent, _))
+      val tmpM = manifestsDir.resolve(s"snap-$snapId.json.tmp")
+      Files.writeString(tmpM, lines.mkString("\n"))
+      Files.move(tmpM, target,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
 
-    // 4. CURRENT LAST (atomic pointer swing — the commit point).
-    val tmpC = Paths.get(dir, "CURRENT.tmp")
-    Files.writeString(tmpC, snapId.toString)
-    Files.move(tmpC, currentFile,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      // 4. CURRENT LAST (atomic pointer swing — the commit point).
+      val tmpC = Paths.get(dir, "CURRENT.tmp")
+      Files.writeString(tmpC, snapId.toString)
+      Files.move(tmpC, currentFile,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case e: Throwable =>
+        try Files.deleteIfExists(target)
+        catch { case _: Throwable => () } // best effort; age-gated GC remains
+        throw e
+    }
     Some(snapId)
   }
 
@@ -555,9 +580,15 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     val horizon = System.currentTimeMillis() - olderThanMillis
     listDir(manifestsDir).flatMap { p =>
       p.getFileName.toString match {
-        case SnapshotTable.SnapName(id) if id.toLong > cur &&
-            Files.getLastModifiedTime(p).toMillis < horizon =>
-          Files.delete(p); Some(p.toString)
+        case SnapshotTable.SnapName(id) if id.toLong > cur =>
+          // tolerate the concurrent-reclaim race (another GC or a
+          // committer's publish/delete between our listing and the stat)
+          // — same posture as snapshotIds
+          try {
+            if (Files.getLastModifiedTime(p).toMillis < horizon &&
+                Files.deleteIfExists(p)) Some(p.toString)
+            else None
+          } catch { case _: java.nio.file.NoSuchFileException => None }
         case _ => None
       }
     }
@@ -695,6 +726,15 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
 }
 
 object SnapshotTable {
+
+  /** Grace window for the inline reclaim of a ZERO-LENGTH (claimed but
+    * never published) snapshot manifest on a commit conflict: younger than
+    * this, the claim may belong to a live committer mid-publish; older, the
+    * claimant is dead and the conflicting committer reclaims and retries
+    * itself (self-healing replay). Non-empty unswung manifests are rarer
+    * (death inside the two renames) and stay on the explicit
+    * removeOrphanManifests path. */
+  val ClaimGraceMs: Long = 10 * 60 * 1000L
 
   /** A concurrent committer claimed this snapshot id first — re-read the
     * table and retry (the optimistic-concurrency loser path; never thrown

@@ -117,8 +117,7 @@ class IvfRecallSpec extends AnyFunSuite with SparkTestBase {
     // floor is half that — same margin discipline as the recall floors.
     // A degenerate quantizer (all-one-cluster, or probes missing the
     // true neighborhood) lands near 0.
-    val rows = SparkEntry.queries("q_ndcg_eval")(spark, "/root/testdata/sf0.001")
-      .collect()
+    val rows = SparkEntry.queries("q_ndcg_eval")(spark, sf).collect()
     val mean = rows.map(_.getAs[Long]("ndcg_milli")).sum.toDouble / rows.length
     info(f"mean nDCG@5 = $mean%.0f milli over ${rows.length} queries")
     assert(mean >= 250, f"mean nDCG $mean%.0f under floor 250")

@@ -649,5 +649,20 @@ class SnapshotResumeSpec extends AnyFunSuite with SparkTestBase {
       replaceBuckets = false).contains(1L))
     assert(table.read(spark).count() == before + moreCount)
     assert(table.readAt(spark, 0L).count() == before) // time travel intact
+
+    // SELF-HEALING: a zero-length claim OLDER than the grace window is a
+    // dead committer — the conflicting commit reclaims it inline and
+    // lands without any manual removeOrphanManifests (the crashed
+    // streaming-replay scenario)
+    val staleClaim = java.nio.file.Paths.get(dir, "manifests", "snap-2.json")
+    Files.createFile(staleClaim)
+    Files.setLastModifiedTime(staleClaim,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - SnapshotTable.ClaimGraceMs - 60000))
+    val third = graft.pipe.ExtractPipeline.extract(spark,
+      TranscriptGen.dataset(spark, seed + 2, nConvs = 5, hotBase = 10))
+    assert(table.commit(spark, third, runId = "occC",
+      replaceBuckets = false).contains(2L))
+    assert(table.currentSnapshotId.contains(2L))
   }
 }
