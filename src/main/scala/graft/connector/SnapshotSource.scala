@@ -133,18 +133,39 @@ final class SnapshotV2Table(dir: String, snapshotId: Long,
       .getOrElse(org.apache.spark.sql.Encoders.product[graft.model.ExtractedTurn].schema)
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(dir, entries, schema())
+    new SnapshotScanBuilder(dir, entries, schema(), options)
 }
 
 final class SnapshotScanBuilder(dir: String, entries: Seq[ManifestEntry],
-    fullSchema: StructType)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    fullSchema: StructType, options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var countStarPushed = false
+
+  /** COMPLETE aggregate pushdown for exactly `COUNT(*)` with no grouping
+    * and no filters: the manifest's commit-time per-file-set row counts
+    * answer it EXACTLY with zero data-file IO (the Iceberg
+    * metadata-aggregate trick). Anything else — grouped, filtered (bucket/
+    * row-group pruning is set-granular, so a residual filter makes manifest
+    * counts an overcount), or any other function — is declined and planned
+    * normally. Spark only offers aggregates when every filter was fully
+    * handled, and we always keep filters residual, so the `pushed.isEmpty`
+    * guard is belt and braces. */
+  override def supportCompletePushDown(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    pushed.isEmpty && agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    countStarPushed = supportCompletePushDown(agg)
+    countStarPushed
+  }
 
   /** Accept every filter: all of them go to the parquet reader (row-group
     * min/max skipping) and the conv_id/ts ones additionally drive
@@ -162,22 +183,57 @@ final class SnapshotScanBuilder(dir: String, entries: Seq[ManifestEntry],
     required = requiredSchema
 
   override def build(): Scan =
-    new SnapshotScan(dir, entries, fullSchema, required, pushed)
+    if (countStarPushed) new SnapshotCountScan(entries)
+    else new SnapshotScan(dir, entries, fullSchema, required, pushed, options)
 }
 
-final class SnapshotScan(dir: String, entries: Seq[ManifestEntry],
-    dataSchema: StructType, required: StructType, pushed: Array[Filter])
-  extends Scan with Batch with SupportsReportStatistics {
+/** The completely-pushed `COUNT(*)` scan: one partition, one row, straight
+  * from the manifest's commit-time counts — no data file is opened. */
+final class SnapshotCountScan(entries: Seq[ManifestEntry])
+  extends Scan with Batch {
 
-  private def spark = SparkSession.active
-  private val numBuckets = entries.head.numBuckets
-  private def hashTwin = new SnapshotTable(dir, numBuckets)
+  private val total: Long = entries.map(_.turns).sum
+
+  override def readSchema(): StructType =
+    new StructType().add("count_star", org.apache.spark.sql.types.LongType, nullable = false)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-snapshot COUNT(*) from manifest = $total (zero data-file IO)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SnapshotCountPartition(total))
+  override def createReaderFactory(): PartitionReaderFactory = SnapshotCountReaderFactory
+}
+
+final case class SnapshotCountPartition(total: Long) extends InputPartition
+
+case object SnapshotCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val total = partition.asInstanceOf[SnapshotCountPartition].total
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](total))
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The shared read machinery: manifest pruning from pushed filters, file
+  * listing, FilePartition-style split packing, and the parquet reader
+  * factory — used identically by the batch scan and the micro-batch
+  * stream (the stream just swaps WHICH manifest entries feed it: a
+  * snapshot-delta instead of one snapshot's full set). */
+private[graft] object SnapshotRead {
 
   /** Manifest-level pruning: intersect the bucket sets demanded by
     * conv_id equality/IN filters, and drop file-sets whose [minTs, maxTs]
     * range cannot overlap the ts predicates. Unknown/other filters prune
     * nothing (they still reach parquet + Spark's residual evaluation). */
-  private[graft] lazy val keptEntries: Seq[ManifestEntry] = {
+  def prune(dir: String, numBuckets: Int, entries: Seq[ManifestEntry],
+      pushed: Array[Filter]): Seq[ManifestEntry] = {
+    val hashTwin = new SnapshotTable(dir, numBuckets)
     val bucketSets = pushed.toSeq.collect {
       case EqualTo(a, v: String) if a.equalsIgnoreCase("conv_id") =>
         Set(hashTwin.bucketOfId(v))
@@ -212,9 +268,10 @@ final class SnapshotScan(dir: String, entries: Seq[ManifestEntry],
     }
   }
 
-  private lazy val fileStatuses: Seq[org.apache.hadoop.fs.FileStatus] = {
+  def listFiles(spark: SparkSession,
+      entries: Seq[ManifestEntry]): Seq[org.apache.hadoop.fs.FileStatus] = {
     val hconf = spark.sessionState.newHadoopConf()
-    keptEntries.flatMap { e =>
+    entries.flatMap { e =>
       val p = new HPath(e.path)
       val fs = p.getFileSystem(hconf)
       if (!fs.exists(p)) Seq.empty
@@ -225,32 +282,12 @@ final class SnapshotScan(dir: String, entries: Seq[ManifestEntry],
     }
   }
 
-  override def readSchema(): StructType = required
-
-  override def description(): String = {
-    val bs = keptEntries.map(_.bucket).distinct.sorted
-    s"graft-snapshot $dir buckets=${bs.mkString("[", ",", "]")} " +
-      s"filesets=${keptEntries.size}/${entries.size} " +
-      s"PushedFilters=${pushed.mkString("[", ", ", "]")}"
-  }
-
-  override def toBatch: Batch = this
-
-  /** Post-pruning stats straight from the manifest (rows) + listing
-    * (bytes): exact pre-residual-filter, so the planner can e.g. decide a
-    * broadcast from real numbers instead of a whole-table size guess. */
-  override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(fileStatuses.map(_.getLen).sum)
-    override def numRows(): OptionalLong =
-      OptionalLong.of(keptEntries.map(_.turns).sum)
-  }
-
   /** Spark's own size-based packing (FilePartition.maxSplitBytes math):
     * parquet is splittable, so files first split at maxSplitBytes, then the
     * splits bin-pack (descending, openCost padding) — partition count tracks
     * bytes, not file count, exactly like the built-in file source. */
-  override def planInputPartitions(): Array[InputPartition] = {
+  def pack(spark: SparkSession,
+      fileStatuses: Seq[org.apache.hadoop.fs.FileStatus]): Array[InputPartition] = {
     val conf = spark.sessionState.conf
     val openCost = conf.filesOpenCostInBytes
     val totalBytes = fileStatuses.map(_.getLen + openCost).sum
@@ -278,12 +315,13 @@ final class SnapshotScan(dir: String, entries: Seq[ManifestEntry],
     parts.map(SnapshotInputPartition(_): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // The parquet read path IS Spark's: buildReaderWithPartitionValues wires
-    // the pruned schema + pushed filters into the (vectorized) parquet
-    // reader and returns a serializable per-file closure — identical
-    // row-group skipping and column decoding to the built-in source, but
-    // over OUR manifest-selected file set.
+  /** The parquet read path IS Spark's: buildReaderWithPartitionValues wires
+    * the pruned schema + pushed filters into the (vectorized) parquet
+    * reader and returns a serializable per-file closure — identical
+    * row-group skipping and column decoding to the built-in source, but
+    * over OUR manifest-selected file set. */
+  def readerFactory(spark: SparkSession, dataSchema: StructType,
+      required: StructType, pushed: Array[Filter]): PartitionReaderFactory = {
     val fmt = new ParquetFileFormat
     val hconf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
     val readFunc = fmt.buildReaderWithPartitionValues(
@@ -291,6 +329,134 @@ final class SnapshotScan(dir: String, entries: Seq[ManifestEntry],
       Map(FileFormat.OPTION_RETURNING_BATCH -> "false"), hconf)
     SnapshotReaderFactory(readFunc)
   }
+}
+
+final class SnapshotScan(dir: String, entries: Seq[ManifestEntry],
+    dataSchema: StructType, required: StructType, pushed: Array[Filter],
+    options: CaseInsensitiveStringMap)
+  extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  private def spark = SparkSession.active
+  private val numBuckets = entries.head.numBuckets
+
+  /** Runtime filtering (the dynamic-partition-pruning analog for this
+    * source): when the planner derives a conv_id set at execution time —
+    * e.g. the broadcast side of a join produced the conversations worth
+    * scanning — the late filters re-prune the manifest entries before
+    * planInputPartitions runs. Pruning stays set-granular and the filters
+    * stay residual, so this only SHRINKS IO, never changes results. */
+  private var runtimeFilters: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("conv_id"))
+  override def filter(filters: Array[Filter]): Unit = { runtimeFilters = filters }
+
+  private[graft] def keptEntries: Seq[ManifestEntry] =
+    SnapshotRead.prune(dir, numBuckets, entries, pushed ++ runtimeFilters)
+
+  private def fileStatuses: Seq[org.apache.hadoop.fs.FileStatus] =
+    SnapshotRead.listFiles(spark, keptEntries)
+
+  override def readSchema(): StructType = required
+
+  override def description(): String = {
+    val bs = keptEntries.map(_.bucket).distinct.sorted
+    s"graft-snapshot $dir buckets=${bs.mkString("[", ",", "]")} " +
+      s"filesets=${keptEntries.size}/${entries.size} " +
+      s"PushedFilters=${pushed.mkString("[", ", ", "]")}"
+  }
+
+  override def toBatch: Batch = this
+
+  /** Post-pruning stats straight from the manifest (rows) + listing
+    * (bytes): exact pre-residual-filter, so the planner can e.g. decide a
+    * broadcast from real numbers instead of a whole-table size guess. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(fileStatuses.map(_.getLen).sum)
+    override def numRows(): OptionalLong =
+      OptionalLong.of(keptEntries.map(_.turns).sum)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    SnapshotRead.pack(spark, fileStatuses)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SnapshotRead.readerFactory(spark, dataSchema, required, pushed)
+
+  /** Structured-streaming face (the Iceberg incremental-append-scan analog
+    * as a real `readStream` source): each micro-batch is the file-set DELTA
+    * between the last processed snapshot and the table's live snapshot —
+    * offsets ARE snapshot ids, so exactly-once restart costs two manifest
+    * reads and zero data-file listing of already-processed history.
+    * `startSnapshotId` skips history (set it to the current id for
+    * new-commits-only); `allowReplaced=true` opts into at-least-once
+    * delivery of rewritten buckets (compaction/replaceWhere), mirroring
+    * `SnapshotTable.readChanges`. */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val startId = Option(options.get("startSnapshotId")).map(_.trim.toLong).getOrElse(-1L)
+    val allowReplaced = Option(options.get("allowReplaced")).exists(_.trim.toBoolean)
+    new SnapshotMicroBatchStream(dir, numBuckets, dataSchema, required,
+      pushed, startId, allowReplaced)
+  }
+}
+
+/** Offsets are snapshot ids: the manifest chain is the changelog. */
+final case class SnapshotOffset(snapshotId: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"snapshotId":$snapshotId}"""
+}
+
+final class SnapshotMicroBatchStream(dir: String, numBuckets: Int,
+    dataSchema: StructType, required: StructType, pushed: Array[Filter],
+    startId: Long, allowReplaced: Boolean)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def spark = SparkSession.active
+  private def currentId: Long =
+    Files.readString(Paths.get(dir, "CURRENT")).trim.toLong
+
+  /** First batch covers (initialOffset, latestOffset]: the default -1
+    * replays the full table history (snapshot 0's file-sets included);
+    * `startSnapshotId = current` streams only commits made after start. */
+  override def initialOffset(): Offset = SnapshotOffset(startId)
+  override def latestOffset(): Offset = SnapshotOffset(currentId)
+  override def deserializeOffset(json: String): Offset =
+    SnapshotOffset(new ObjectMapper().readTree(json).get("snapshotId").asLong())
+
+  /** The delta (from, to]: to's file-sets minus from's, exactly
+    * `SnapshotTable.readChanges` — append-only unless the caller opted
+    * into at-least-once redelivery of rewritten buckets. Only the two
+    * endpoint manifests are consulted; intermediate snapshots may already
+    * be expired. Conv_id/ts pruning applies to the delta too (a stream
+    * that only follows some conversations never lists other buckets). */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SnapshotOffset].snapshotId
+    val e = end.asInstanceOf[SnapshotOffset].snapshotId
+    if (e <= s) return Array.empty
+    val fromPaths =
+      if (s < 0) Set.empty[String]
+      else SnapshotManifest.read(dir, s).map(_.path).toSet
+    val toEntries = SnapshotManifest.read(dir, e)
+    val toPaths = toEntries.map(_.path).toSet
+    val rewritten = fromPaths.filterNot(toPaths)
+    if (rewritten.nonEmpty && !allowReplaced)
+      throw new IllegalStateException(
+        s"snapshots $s → $e are not append-only: ${rewritten.size} file-set(s) " +
+          "were rewritten (compact/replaceWhere/delete) under the stream. Set " +
+          ".option(\"allowReplaced\", \"true\") to accept at-least-once " +
+          "redelivery of rewritten buckets.")
+    val added = toEntries.filterNot(en => fromPaths(en.path))
+    val pruned = SnapshotRead.prune(dir, numBuckets, added, pushed)
+    SnapshotRead.pack(spark, SnapshotRead.listFiles(spark, pruned))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SnapshotRead.readerFactory(spark, dataSchema, required, pushed)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class SnapshotInputPartition(files: Array[PartitionedFile])

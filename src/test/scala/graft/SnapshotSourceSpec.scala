@@ -120,6 +120,46 @@ class SnapshotSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(scanOf(df).readSchema().fieldNames.sameElements(Array("conv_id")))
   }
 
+  test("SQL face: CREATE TEMPORARY VIEW … USING graft-snapshot") {
+    val (dir, table) = fixture
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_sql USING `graft-snapshot` " +
+      s"OPTIONS (path '$dir')")
+    val viaSql = spark.sql("SELECT conv_id, turn_idx, text FROM snap_sql")
+    assert(key(viaSql) == key(table.read(spark)))
+    val one = spark.sql("SELECT text FROM snap_sql WHERE conv_id = 'conv3' AND turn_idx = 0")
+    assert(one.collect().map(_.getString(0)).toSeq == Seq("body of conv3#0"))
+  }
+
+  test("COUNT(*) pushes down completely: answered from the manifest, no data scan") {
+    val df = load().groupBy().count()
+    val scan = df.queryExecution.sparkPlan
+      .collectFirst { case b: BatchScanExec => b.scan }.get
+    assert(scan.isInstanceOf[graft.connector.SnapshotCountScan], scan.getClass.toString)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(41L))
+    // any filter blocks the complete pushdown (manifest counts would
+    // overcount a set-granular prune) and plans the normal scan
+    val filtered = load().where(col("conv_id") === "conv7").groupBy().count()
+    val fscan = filtered.queryExecution.sparkPlan
+      .collectFirst { case b: BatchScanExec => b.scan }.get
+    assert(fscan.isInstanceOf[SnapshotScan], fscan.getClass.toString)
+    assert(filtered.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("runtime filtering re-prunes file-sets after planning (DPP analog)") {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val (_, table) = fixture
+    val scan = scanOf(load())
+    assert(scan.keptEntries.size == 8) // 4 buckets × 2 runs, nothing pruned yet
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](In("conv_id", Array("conv7"))))
+    assert(scan.keptEntries.map(_.bucket).toSet == Set(table.bucketOfId("conv7")))
+    // runtime + planning-time filters intersect
+    val scan2 = scanOf(load().where(col("ts") >= new Timestamp(baseB)))
+    scan2.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("conv_id", "conv7")))
+    val kept = scan2.keptEntries
+    assert(kept.size == 1 && kept.head.path.contains("run=runB"), kept.toString)
+    assert(scan2.filterAttributes().map(_.describe()).toSeq == Seq("conv_id"))
+  }
+
   test("manifest statistics: post-pruning row count with zero data-file IO") {
     val st = scanOf(load()).estimateStatistics()
     assert(st.numRows().getAsLong == 41L)
