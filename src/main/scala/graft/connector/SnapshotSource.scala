@@ -68,14 +68,21 @@ final class SnapshotSource extends TableProvider with DataSourceRegister {
 
   private def loadTable(options: CaseInsensitiveStringMap): SnapshotV2Table = {
     val dir = dirOf(options)
-    val snapId = Option(options.get("snapshotId")).map(_.trim.toLong).getOrElse {
-      val cur = Paths.get(dir, "CURRENT")
-      require(Files.exists(cur), s"no committed snapshot in $dir")
-      Files.readString(cur).trim.toLong
+    val cur = Paths.get(dir, "CURRENT")
+    val snapOpt = Option(options.get("snapshotId")).map(_.trim.toLong)
+      .orElse(if (Files.exists(cur)) Some(Files.readString(cur).trim.toLong) else None)
+    snapOpt match {
+      case Some(snapId) =>
+        val entries = SnapshotManifest.read(dir, snapId)
+        require(entries.nonEmpty, s"snapshot $snapId in $dir is empty")
+        new SnapshotV2Table(dir, snapId, entries, entries.head.numBuckets)
+      case None =>
+        // no committed snapshot: a WRITE to a brand-new table (first commit
+        // creates snapshot 0). Bucket count comes from the writer's option;
+        // later opens recover it from the manifest.
+        val nb = Option(options.get("numBuckets")).map(_.trim.toInt).getOrElse(16)
+        new SnapshotV2Table(dir, -1L, Seq.empty, nb)
     }
-    val entries = SnapshotManifest.read(dir, snapId)
-    require(entries.nonEmpty, s"snapshot $snapId in $dir is empty")
-    new SnapshotV2Table(dir, snapId, entries)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -123,7 +130,9 @@ object SnapshotManifest {
 }
 
 final class SnapshotV2Table(dir: String, snapshotId: Long,
-    entries: Seq[ManifestEntry]) extends Table with SupportsRead {
+    entries: Seq[ManifestEntry], numBuckets: Int)
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft-snapshot `$dir` @ $snapshotId"
 
@@ -133,14 +142,18 @@ final class SnapshotV2Table(dir: String, snapshotId: Long,
       .getOrElse(org.apache.spark.sql.Encoders.product[graft.model.ExtractedTurn].schema)
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(dir, entries, schema(), options)
+    new SnapshotScanBuilder(dir, entries, schema(), numBuckets, options)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new SnapshotWriteBuilder(dir, numBuckets, info)
 }
 
 final class SnapshotScanBuilder(dir: String, entries: Seq[ManifestEntry],
-    fullSchema: StructType, options: CaseInsensitiveStringMap)
+    fullSchema: StructType, numBuckets: Int, options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates {
 
@@ -184,7 +197,7 @@ final class SnapshotScanBuilder(dir: String, entries: Seq[ManifestEntry],
 
   override def build(): Scan =
     if (countStarPushed) new SnapshotCountScan(entries)
-    else new SnapshotScan(dir, entries, fullSchema, required, pushed, options)
+    else new SnapshotScan(dir, entries, fullSchema, required, pushed, numBuckets, options)
 }
 
 /** The completely-pushed `COUNT(*)` scan: one partition, one row, straight
@@ -333,11 +346,10 @@ private[graft] object SnapshotRead {
 
 final class SnapshotScan(dir: String, entries: Seq[ManifestEntry],
     dataSchema: StructType, required: StructType, pushed: Array[Filter],
-    options: CaseInsensitiveStringMap)
+    numBuckets: Int, options: CaseInsensitiveStringMap)
   extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   private def spark = SparkSession.active
-  private val numBuckets = entries.head.numBuckets
 
   /** Runtime filtering (the dynamic-partition-pruning analog for this
     * source): when the planner derives a conv_id set at execution time —

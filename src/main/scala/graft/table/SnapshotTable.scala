@@ -187,6 +187,18 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
         TsFmt.format(Instant.ofEpochMilli(s.minTs)),
         TsFmt.format(Instant.ofEpochMilli(s.maxTs)), schemaDdl)
     }
+    commitEntries(spark, newEntries, replaceBuckets, forceReplace)
+  }
+
+  /** The manifest half of the commit protocol, callable with entries
+    * whose DATA was already written by someone else — the DataSource V2
+    * writer's `BatchWrite.commit` lands here: executors wrote the run's
+    * parquet (data first), the driver merges their per-task stats into
+    * [[BucketEntry]]s and this publishes manifest-then-CURRENT under the
+    * same optimistic-concurrency claim as the library path. */
+  def commitEntries(spark: SparkSession, newEntries: Seq[BucketEntry],
+      replaceBuckets: Boolean, forceReplace: Set[Int] = Set.empty): Option[Long] = {
+    val schemaDdl = newEntries.headOption.map(_.schema).getOrElse("")
     if (newEntries.isEmpty && forceReplace.isEmpty) return None
 
     // 3. MANIFEST SECOND: full committed set = parent's ∪ new.
@@ -196,10 +208,13 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
         committedEntries(spark).filterNot(e =>
           forceReplace(e.bucket) || newEntries.exists(_.bucket == e.bucket))
       else committedEntries(spark)
-    prev.find(e => e.schema.nonEmpty && e.schema != schemaDdl).foreach { e =>
+    // delete-only commits (no new entries ⇒ schemaDdl empty) change no
+    // schema and skip the guard
+    prev.find(e => schemaDdl.nonEmpty && e.schema.nonEmpty && e.schema != schemaDdl).foreach { e =>
       throw new IllegalStateException(
         s"schema change detected: table $dir bucket ${e.bucket} (run ${e.runId}) " +
-          s"was committed with schema [${e.schema}] but run $runId writes " +
+          s"was committed with schema [${e.schema}] but run " +
+          s"${newEntries.headOption.map(_.runId).getOrElse("?")} writes " +
           s"[$schemaDdl]. Rewrite the table (compact after migrating) instead " +
           "of mixing schemas in one snapshot.")
     }

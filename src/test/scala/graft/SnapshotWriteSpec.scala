@@ -1,0 +1,124 @@
+package graft
+
+import graft.model.{ExtractedTurn, Span}
+import graft.table.SnapshotTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** DataSource V2 WRITE path: df.write.format("graft-snapshot") must create
+  * real snapshots — data first, per-task stats merged into manifest entries,
+  * OCC manifest-then-CURRENT publish — interoperable in both directions
+  * with the library path (SnapshotTable), with Spark itself planning the
+  * clustering + in-partition (conv_id, turn_idx) sort the table's
+  * stable-order invariant needs.
+  */
+class SnapshotWriteSpec extends AnyFunSuite with SparkTestBase {
+
+  private val base = 1767225600000L // 2026-01-01T00:00:00Z
+
+  private def mk(conv: String, idx: Int): ExtractedTurn = {
+    val text = s"written $conv#$idx"
+    ExtractedTurn(conv, idx, "user", "html", new Timestamp(base + idx * 1000L),
+      text, Seq(Span(0, 0, text.length, "p", text)), 2, 1, text.length, 1.0)
+  }
+
+  private def write(dir: String, rows: Seq[ExtractedTurn], runId: String): Unit = {
+    import testImplicits._
+    rows.toDS().toDF().write.format("graft-snapshot").mode("append")
+      .option("numBuckets", "4").option("runId", runId).save(dir)
+  }
+
+  private def key(df: DataFrame): Set[(String, Int, String)] = {
+    import testImplicits._
+    df.select(col("conv_id"), col("turn_idx"), col("text"))
+      .as[(String, Int, String)].collect().toSet
+  }
+
+  test("first V2 write creates snapshot 0; library open reads it back exactly") {
+    val dir = Files.createTempDirectory("v2write").toString
+    val rows = (0 until 30).flatMap(i => Seq(mk(s"c$i", 0), mk(s"c$i", 1)))
+    write(dir, rows, "w1")
+
+    val table = SnapshotTable.open(dir) // bucket count recovered from manifest
+    assert(table.numBuckets == 4)
+    assert(table.currentSnapshotId.contains(0L))
+    assert(key(table.read(spark)) == rows.map(t => (t.conv_id, t.turn_idx, t.text)).toSet)
+
+    // manifest stats came from the tasks' inline counters, not a rescan
+    val st = table.stats(spark).collect()
+    assert(st.map(_.getLong(2)).sum == 60L) // turns
+    assert(st.map(_.getLong(3)).sum == 120L) // blocksKept = 2/turn
+  }
+
+  test("every written file is internally ordered by (conv_id, turn_idx)") {
+    import testImplicits._
+    val dir = Files.createTempDirectory("v2write_ord").toString
+    // deliberately unsorted, multi-partition input
+    val rows = scala.util.Random.shuffle(
+      (0 until 40).flatMap(i => (0 until 3).map(j => mk(s"c$i", j))).toList)
+    rows.toDS().repartition(8).toDF().write.format("graft-snapshot")
+      .mode("append").option("numBuckets", "4").option("runId", "w1").save(dir)
+
+    val table = SnapshotTable.open(dir)
+    val files = table.read(spark).inputFiles
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val inFile = spark.read.parquet(f).select("conv_id", "turn_idx")
+        .as[(String, Int)].collect().toSeq
+      assert(inFile == inFile.sortBy(identity),
+        s"file $f is not (conv_id, turn_idx)-ordered")
+    }
+    assert(key(table.read(spark)) == rows.map(t => (t.conv_id, t.turn_idx, t.text)).toSet)
+  }
+
+  test("appends chain snapshots; readChanges sees exactly the delta; count(*) pushdown tracks") {
+    val dir = Files.createTempDirectory("v2write_app").toString
+    val a = (0 until 10).map(i => mk(s"c$i", 0))
+    val b = (0 until 4).map(i => mk(s"late$i", 0))
+    write(dir, a, "w1")
+    write(dir, b, "w2")
+
+    val table = SnapshotTable.open(dir)
+    assert(table.currentSnapshotId.contains(1L))
+    assert(key(table.readChanges(spark, 0L, 1L)) ==
+      b.map(t => (t.conv_id, t.turn_idx, t.text)).toSet)
+
+    val count = spark.read.format("graft-snapshot").load(dir).groupBy().count()
+    assert(count.collect().map(_.getLong(0)).toSeq == Seq(14L))
+  }
+
+  test("interop: library commit + V2 append + compact stay one consistent table") {
+    import testImplicits._
+    val dir = Files.createTempDirectory("v2write_mix").toString
+    val table = new SnapshotTable(dir, numBuckets = 4)
+    val a = (0 until 8).map(i => mk(s"lib$i", 0))
+    table.commit(spark, a.toDS(), "libRun")
+
+    val b = (0 until 8).map(i => mk(s"v2_$i", 0))
+    write(dir, b, "v2Run")
+
+    val all = (a ++ b).map(t => (t.conv_id, t.turn_idx, t.text)).toSet
+    assert(key(table.read(spark)) == all)
+
+    val compacted = table.compact(spark, "compactRun")
+    assert(key(table.readAt(spark, compacted)) == all)
+    // V2 read face agrees after the rewrite
+    assert(key(spark.read.format("graft-snapshot").load(dir)) == all)
+  }
+
+  test("manifest ts stats from the write match the data (ts-range pruning works on V2-written sets)") {
+    val dir = Files.createTempDirectory("v2write_ts").toString
+    write(dir, Seq(mk("early", 0)), "w1") // ts = base
+    write(dir, Seq(mk("late", 3600)), "w2") // ts = base + 1h
+    val df = spark.read.format("graft-snapshot").load(dir)
+      .where(col("ts") >= new Timestamp(base + 3000 * 1000L))
+    assert(key(df) == Set(("late", 3600, "written late#3600")))
+    val scan = df.queryExecution.sparkPlan
+      .collectFirst { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan }
+      .get.asInstanceOf[graft.connector.SnapshotScan]
+    assert(scan.keptEntries.forall(_.path.contains("run=w2")), scan.keptEntries.toString)
+  }
+}
