@@ -69,6 +69,83 @@ final class SnapshotWrite(dir: String, numBuckets: Int, info: LogicalWriteInfo)
     val runId = Option(info.options().get("runId")).getOrElse(info.queryId())
     new SnapshotBatchWrite(dir, numBuckets, info.schema(), runId)
   }
+
+  /** Streaming sink face (`df.writeStream.format("graft-snapshot")`,
+    * append mode): one snapshot per micro-batch, runId = `<queryId>-<epoch>`
+    * — so a REPLAYED epoch (restart after a crash between sink commit and
+    * checkpoint write) is detected in the manifest lineage and commits
+    * nothing, the same exactly-once argument as the foreachBatch sink
+    * (`StreamingExtract.snapshotSink`), but in the engine's own
+    * StreamingWrite contract. */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new SnapshotStreamingWrite(dir, numBuckets, info.schema(), info.queryId())
+}
+
+final class SnapshotStreamingWrite(dir: String, numBuckets: Int,
+    schema: StructType, queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private def runId(epochId: Long) = s"$queryId-$epochId"
+  private def dataPath(epochId: Long) = s"$dir/data/run=${runId(epochId)}"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    val hconf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
+    val job = Job.getInstance(hconf)
+    val factory = ParquetUtils.prepareWrite(
+      spark.sessionState.conf, job, schema,
+      new ParquetOptions(Map.empty[String, String], spark.sessionState.conf))
+    SnapshotStreamingDataWriterFactory(factory,
+      new SerializableConfiguration(job.getConfiguration), dir, queryId,
+      numBuckets, schema)
+  }
+
+  private val TsFmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss").withZone(ZoneOffset.UTC)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val table = new SnapshotTable(dir, numBuckets)
+    val rid = runId(epochId)
+    // replay detection via manifest lineage: this epoch already published
+    if (table.committedEntries(spark).exists(_.runId == rid)) return
+    val merged = messages.collect { case m: SnapshotCommitMessage => m.stats }
+      .foldLeft(Map.empty[Int, BucketWriteStats]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (b, s)) =>
+          a.updated(b, a.get(b).map(_.merge(s)).getOrElse(s))
+        }
+      }
+    val schemaDdl = schema.catalogString
+    val entries = merged.toSeq.sortBy(_._1).map { case (b, s) =>
+      table.BucketEntry(b, s"${dataPath(epochId)}/bucket=$b", rid,
+        s.turns, s.blocksKept, s.blocksDropped, s.charsEmitted,
+        TsFmt.format(Instant.ofEpochMilli(s.minTsUs / 1000L)),
+        TsFmt.format(Instant.ofEpochMilli(s.maxTsUs / 1000L)), schemaDdl)
+    }
+    // micro-batches APPEND entries (the streaming merge rule); compaction
+    // folds a bucket's accumulated file-sets back to one
+    table.commitEntries(spark, entries, replaceBuckets = false)
+    ()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dataPath(epochId))
+    val fs = p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+}
+
+final case class SnapshotStreamingDataWriterFactory(factory: OutputWriterFactory,
+    conf: SerializableConfiguration, dir: String, queryId: String,
+    numBuckets: Int, schema: StructType)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new SnapshotDataWriter(factory, conf.value,
+      s"$dir/data/run=$queryId-$epochId", numBuckets, schema, partitionId, taskId)
 }
 
 /** Per-bucket stats one task observed; merged driver-side at commit. */

@@ -109,6 +109,42 @@ class SnapshotWriteSpec extends AnyFunSuite with SparkTestBase {
     assert(key(spark.read.format("graft-snapshot").load(dir)) == all)
   }
 
+  test("streaming sink: one snapshot per micro-batch, replayed epochs commit nothing") {
+    import testImplicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("v2write_stream").toString
+    val mem = MemoryStream[ExtractedTurn]
+    val q = mem.toDS().toDF().writeStream.format("graft-snapshot")
+      .option("numBuckets", "4")
+      .option("checkpointLocation", Files.createTempDirectory("v2chk").toString)
+      .outputMode("append").start(dir)
+    try {
+      mem.addData((0 until 6).map(i => mk(s"s$i", 0)): _*)
+      q.processAllAvailable()
+      val table = SnapshotTable.open(dir)
+      assert(table.currentSnapshotId.contains(0L))
+      assert(table.read(spark).count() == 6L)
+
+      mem.addData(mk("s_late", 1))
+      q.processAllAvailable()
+      assert(table.currentSnapshotId.contains(1L))
+      assert(key(table.readChanges(spark, 0L, 1L)) == Set(("s_late", 1, "written s_late#1")))
+    } finally q.stop()
+
+    // replay idempotence: re-committing an ALREADY-PUBLISHED epoch's
+    // messages must be a manifest no-op (crash between sink commit and
+    // checkpoint write ⇒ the restarted query re-runs the epoch)
+    val table = SnapshotTable.open(dir)
+    val before = table.currentSnapshotId
+    val write = new graft.connector.SnapshotStreamingWrite(dir, 4,
+      org.apache.spark.sql.Encoders.product[ExtractedTurn].schema,
+      queryId = table.committedEntries(spark).head.runId.stripSuffix("-0"))
+    write.commit(0L, Array(graft.connector.SnapshotCommitMessage(
+      Map(0 -> graft.connector.BucketWriteStats(99L, 0L, 0L, 0L, 0L, 0L)))))
+    assert(table.currentSnapshotId == before, "replayed epoch must not advance the snapshot")
+  }
+
   test("manifest ts stats from the write match the data (ts-range pruning works on V2-written sets)") {
     val dir = Files.createTempDirectory("v2write_ts").toString
     write(dir, Seq(mk("early", 0)), "w1") // ts = base
