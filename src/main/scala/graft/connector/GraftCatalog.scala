@@ -1,0 +1,158 @@
+package graft.connector
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Catalog plugin for snapshot tables (the Iceberg `SparkCatalog` analog):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.connector.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/graft")
+  *   spark.table("graft.turns")                       // = <warehouse>/turns
+  *   spark.sql("SELECT * FROM graft.turns VERSION AS OF 3")
+  *   df.writeTo("graft.turns").append()
+  * }}}
+  *
+  * Beyond name resolution, the catalog is what unlocks STORAGE-PARTITIONED
+  * JOINS: it is also a [[FunctionCatalog]] exposing the table's `bucket`
+  * transform as a V2 function, so when two snapshot tables loaded through
+  * it report `KeyGroupedPartitioning(bucket(n, conv_id))` from their scans,
+  * Spark can prove both sides partition identically (same canonical
+  * function, same n) and plan their conv_id equi-join with NO exchange —
+  * at 100 TB the join cost becomes per-bucket merge IO instead of a
+  * full-table shuffle. (Enable `spark.sql.sources.v2.bucketing.enabled`.)
+  */
+class GraftCatalog extends TableCatalog with FunctionCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      sys.error(s"catalog $name needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(s"$warehouse/", "/", "")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = Paths.get((s"$warehouse" +: namespace).mkString("/"))
+    if (!Files.isDirectory(base)) Array.empty
+    else {
+      val s = Files.list(base)
+      try s.iterator.asScala
+        .filter(p => Files.exists(p.resolve("CURRENT")))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+      finally s.close()
+    }
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    Files.exists(Paths.get(dirOf(ident), "CURRENT"))
+
+  private def load(ident: Identifier, snapshotId: Option[Long]): Table = {
+    val dir = dirOf(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val snapId = snapshotId.getOrElse(
+      Files.readString(Paths.get(dir, "CURRENT")).trim.toLong)
+    val entries = SnapshotManifest.read(dir, snapId)
+    new SnapshotV2Table(dir, snapId, entries, entries.head.numBuckets)
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** SQL time travel: `SELECT … FROM graft.t VERSION AS OF <snapshotId>`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toLong))
+
+  /** New-table DDL (`df.writeTo("graft.t").using("graft-snapshot").create()`
+    * / `CREATE TABLE graft.t …`): an empty, uncommitted table — the first
+    * write's commit creates snapshot 0. Bucket count from the `numBuckets`
+    * table property (default 16); schema/partitioning are recorded by the
+    * first commit's manifest, not a separate metadata file. */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    Files.createDirectories(Paths.get(dir))
+    val nb = Option(properties.get("numBuckets")).map(_.toInt).getOrElse(16)
+    new SnapshotV2Table(dir, -1L, Seq.empty, nb)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on graft-snapshot: schema is tracked per commit; " +
+        "migrate by compacting after a rewrite")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = Paths.get(dirOf(ident))
+    if (!Files.exists(dir)) false
+    else {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.iterator.asScala.toSeq.foreach(rm) finally s.close()
+        }
+        Files.deleteIfExists(p)
+        ()
+      }
+      rm(dir); true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    Files.move(Paths.get(dirOf(oldIdent)), Paths.get(dirOf(newIdent)))
+
+  // ---- FunctionCatalog: the bucket transform as a V2 function ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+}
+
+/** `bucket(numBuckets, conv_id)` — the table's physical layout as a V2
+  * function. `canonicalName` is the identity two scans must share for
+  * Spark to treat their KeyGroupedPartitionings as co-partitioned; it pins
+  * the exact hash (xxhash64 seed 42, pmod), matching
+  * [[graft.table.SnapshotTable.bucketOfId]] bit for bit. */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, conv_id): pmod(xxhash64(conv_id, seed=42), n) — the snapshot table layout hash"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2 &&
+      inputType.fields(0).dataType == IntegerType &&
+      inputType.fields(1).dataType == StringType,
+      s"bucket expects (int numBuckets, string conv_id), got ${inputType.catalogString}")
+    GraftBucketBound
+  }
+}
+
+object GraftBucketBound extends ScalarFunction[Integer] {
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket[xxhash64-seed42-pmod]"
+  override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
+  override def resultType(): DataType = IntegerType
+  override def isResultNullable: Boolean = false
+
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    val h = XxHash64Function.hash(input.getUTF8String(1), StringType, 42L)
+    (((h % n) + n) % n).toInt
+  }
+}

@@ -145,6 +145,12 @@ final class SnapshotV2Table(dir: String, snapshotId: Long,
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
 
+  /** The physical layout as V2 metadata: resolved against the catalog's
+    * `bucket` function, this is what lets two snapshot tables prove they
+    * are co-partitioned (storage-partitioned join). */
+  override def partitioning(): Array[Transform] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(numBuckets, "conv_id"))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(dir, entries, schema(), numBuckets, options)
 
@@ -347,7 +353,8 @@ private[graft] object SnapshotRead {
 final class SnapshotScan(dir: String, entries: Seq[ManifestEntry],
     dataSchema: StructType, required: StructType, pushed: Array[Filter],
     numBuckets: Int, options: CaseInsensitiveStringMap)
-  extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+  extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
+  with SupportsReportPartitioning {
 
   private def spark = SparkSession.active
 
@@ -389,8 +396,39 @@ final class SnapshotScan(dir: String, entries: Seq[ManifestEntry],
       OptionalLong.of(keptEntries.map(_.turns).sum)
   }
 
+  /** Bucket-grouped planning (storage-partitioned-join mode): one
+    * InputPartition per bucket, keyed by the bucket id, matching the
+    * reported `KeyGroupedPartitioning(bucket(n, conv_id))`. On by default
+    * exactly when `spark.sql.sources.v2.bucketing.enabled` is — a session
+    * that asked for SPJ trades split-level parallelism (a bucket is one
+    * task) for shuffle-free conv_id joins; override per read with
+    * option("groupByBucket", …). Captured lazily so the partition layout
+    * reported at planning cannot drift afterwards (runtime filters keep
+    * shrinking IO in ungrouped mode only). */
+  private lazy val groupByBucket: Boolean =
+    Option(options.get("groupByBucket")).map(_.trim.toBoolean).getOrElse(
+      spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled").exists(_.toBoolean))
+
+  private lazy val bucketPartitions: Array[InputPartition] =
+    keptEntries.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (b, es) =>
+      val files = SnapshotRead.listFiles(spark, es).map { st =>
+        PartitionedFile(InternalRow.empty,
+          SparkPath.fromPathString(st.getPath.toString),
+          0L, st.getLen, Array.empty[String], st.getModificationTime, st.getLen)
+      }
+      SnapshotBucketPartition(b, files.toArray): InputPartition
+    }.toArray
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (groupByBucket)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(numBuckets, "conv_id")),
+        bucketPartitions.length)
+    else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+
   override def planInputPartitions(): Array[InputPartition] =
-    SnapshotRead.pack(spark, fileStatuses)
+    if (groupByBucket) bucketPartitions
+    else SnapshotRead.pack(spark, fileStatuses)
 
   override def createReaderFactory(): PartitionReaderFactory =
     SnapshotRead.readerFactory(spark, dataSchema, required, pushed)
@@ -474,12 +512,25 @@ final class SnapshotMicroBatchStream(dir: String, numBuckets: Int,
 final case class SnapshotInputPartition(files: Array[PartitionedFile])
   extends InputPartition
 
+/** One whole bucket as one partition, keyed by its bucket id — the shape
+  * `KeyGroupedPartitioning` requires for storage-partitioned joins. */
+final case class SnapshotBucketPartition(bucket: Int, files: Array[PartitionedFile])
+  extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
+
 final case class SnapshotReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow])
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val files = partition.asInstanceOf[SnapshotInputPartition].files
+    val files = partition match {
+      case SnapshotInputPartition(fs)     => fs
+      case SnapshotBucketPartition(_, fs) => fs
+      case p => sys.error(s"unexpected partition ${p.getClass}")
+    }
     new PartitionReader[InternalRow] {
       private val it = files.iterator.flatMap(readFunc)
       private var cur: InternalRow = _
