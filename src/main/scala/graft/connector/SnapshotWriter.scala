@@ -108,7 +108,10 @@ final class SnapshotStreamingWrite(dir: String, numBuckets: Int,
     val spark = SparkSession.active
     val table = new SnapshotTable(dir, numBuckets)
     val rid = runId(epochId)
-    // replay detection via manifest lineage: this epoch already published
+    SnapshotWriterUtil.dropStaging(spark, dataPath(epochId))
+    // replay detection via manifest lineage: this epoch already published —
+    // the re-run's deterministic file names overwrote the published files
+    // with identical bytes, so only the manifest append must be skipped
     if (table.committedEntries(spark).exists(_.runId == rid)) return
     val merged = messages.collect { case m: SnapshotCommitMessage => m.stats }
       .foldLeft(Map.empty[Int, BucketWriteStats]) { (acc, m) =>
@@ -129,10 +132,19 @@ final class SnapshotStreamingWrite(dir: String, numBuckets: Int,
     ()
   }
 
+  /** Same guard as the batch abort: a replayed epoch that fails AFTER its
+    * predecessor already published must not delete the published files
+    * (deterministic names mean the replay overwrote them in place). */
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dataPath(epochId))
-    val fs = p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
-    if (fs.exists(p)) fs.delete(p, true)
+    val spark = SparkSession.active
+    val committed = new SnapshotTable(dir, numBuckets)
+      .committedEntries(spark).exists(_.runId == runId(epochId))
+    SnapshotWriterUtil.dropStaging(spark, dataPath(epochId))
+    if (!committed) {
+      val p = new org.apache.hadoop.fs.Path(dataPath(epochId))
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     ()
   }
 }
@@ -184,13 +196,23 @@ final class SnapshotBatchWrite(dir: String, numBuckets: Int,
   /** DATA is on disk; merge task stats → manifest entries → OCC publish. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
+    SnapshotWriterUtil.dropStaging(spark, dataPath) // zombie-attempt leftovers
+    // batch jobs don't replay themselves: a runId collision is a caller
+    // re-using an identity, and silently appending the SAME paths again
+    // would make readers double-count the file-set. Fail fast; streaming
+    // epochs (which DO legitimately replay) go through the lineage-checked
+    // streaming face instead.
+    val table = new SnapshotTable(dir, numBuckets)
+    if (table.committedEntries(spark).exists(_.runId == runId))
+      throw new IllegalStateException(
+        s"runId $runId is already committed in $dir — pick a fresh runId " +
+          "(batch writes are not replayable; the streaming face handles epoch replays)")
     val merged = messages.collect { case m: SnapshotCommitMessage => m.stats }
       .foldLeft(Map.empty[Int, BucketWriteStats]) { (acc, m) =>
         m.foldLeft(acc) { case (a, (b, s)) =>
           a.updated(b, a.get(b).map(_.merge(s)).getOrElse(s))
         }
       }
-    val table = new SnapshotTable(dir, numBuckets)
     val schemaDdl = schema.catalogString
     val entries = merged.toSeq.sortBy(_._1).map { case (b, s) =>
       table.BucketEntry(b, s"$dataPath/bucket=$b", runId,
@@ -201,13 +223,34 @@ final class SnapshotBatchWrite(dir: String, numBuckets: Int,
     table.commitEntries(spark, entries, replaceBuckets = false)
   }
 
-  /** Nothing was published (commit is the only manifest writer): just
-    * remove this run's orphan data so the failed attempt costs no storage.
-    * Even a missed abort is safe — unreferenced files are invisible to
-    * readers and removeOrphanFiles reclaims them. */
+  /** Nothing was published (commit is the only manifest writer): remove
+    * this run's orphan data so the failed attempt costs no storage — but
+    * ONLY if the manifest doesn't already reference this runId (the
+    * fail-fast runId-collision path aborts AFTER tasks overwrote the
+    * committed files with identical bytes; deleting the dir there would
+    * destroy published data). Even a missed abort is safe — unreferenced
+    * files are invisible to readers and removeOrphanFiles reclaims them. */
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dataPath)
-    val fs = p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    val spark = SparkSession.active
+    val committed = new SnapshotTable(dir, numBuckets)
+      .committedEntries(spark).exists(_.runId == runId)
+    SnapshotWriterUtil.dropStaging(spark, dataPath)
+    if (!committed) {
+      val p = new org.apache.hadoop.fs.Path(dataPath)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    ()
+  }
+}
+
+private[connector] object SnapshotWriterUtil {
+  /** Remove a run's staging dir (crashed-attempt leftovers) before the
+    * manifest publish — staged files are never reader-visible, this is
+    * pure storage hygiene. */
+  def dropStaging(spark: SparkSession, dataPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dataPath/_staging")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) fs.delete(p, true)
     ()
   }
@@ -226,7 +269,18 @@ final case class SnapshotDataWriterFactory(factory: OutputWriterFactory,
   * arrive clustered by conv_id and sorted (conv_id, turn_idx) — each
   * bucket file therefore holds its conversations contiguous and ordered.
   * Stats are tracked inline (single pass, same as the library commit's
-  * accumulator) and returned as the commit message. */
+  * accumulator) and returned as the commit message.
+  *
+  * DURABILITY: tasks write to a per-ATTEMPT staging dir and only
+  * [[commit]] renames into the manifest-referenced bucket dirs — a failed
+  * or zombie attempt never leaves a partial file where readers look
+  * (the commit-coordinator denies its commit, abort removes its staging).
+  * Final names are DETERMINISTIC per partition (`part-<partitionId>`), so
+  * a replayed streaming epoch or a speculative twin re-renaming the same
+  * target overwrites with identical bytes instead of accumulating
+  * duplicates next to an already-published manifest entry. (Iceberg
+  * avoids the rename by manifesting individual files; our manifest is
+  * bucket-dir granular, so stage-and-rename is the honest equivalent.) */
 final class SnapshotDataWriter(factory: OutputWriterFactory, conf: Configuration,
     dataPath: String, numBuckets: Int, schema: StructType,
     partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
@@ -235,6 +289,8 @@ final class SnapshotDataWriter(factory: OutputWriterFactory, conf: Configuration
     new TaskAttemptID(new TaskID(new org.apache.hadoop.mapreduce.JobID("graft", 0),
       TaskType.MAP, partitionId), taskId.toInt))
   private val ext = factory.getFileExtension(ctx)
+  private val stagingDir = s"$dataPath/_staging/attempt-$partitionId-$taskId"
+  private def fs = new org.apache.hadoop.fs.Path(dataPath).getFileSystem(conf)
 
   private val convIdx = schema.fieldIndex("conv_id")
   private def optIdx(n: String): Int =
@@ -248,17 +304,13 @@ final class SnapshotDataWriter(factory: OutputWriterFactory, conf: Configuration
 
   private val writers = scala.collection.mutable.Map.empty[Int, org.apache.spark.sql.execution.datasources.OutputWriter]
   private val stats = scala.collection.mutable.Map.empty[Int, BucketWriteStats]
-  private val paths = scala.collection.mutable.ArrayBuffer.empty[String]
 
   override def write(row: InternalRow): Unit = {
     val conv = row.getUTF8String(convIdx)
     val h = XxHash64Function.hash(conv, StringType, 42L)
     val b = (((h % numBuckets) + numBuckets) % numBuckets).toInt
-    val w = writers.getOrElseUpdate(b, {
-      val path = s"$dataPath/bucket=$b/part-$partitionId-$taskId$ext"
-      paths += path
-      factory.newInstance(path, schema, ctx)
-    })
+    val w = writers.getOrElseUpdate(b,
+      factory.newInstance(s"$stagingDir/b$b$ext", schema, ctx))
     w.write(row)
     val tsUs = if (tsIdx >= 0 && !row.isNullAt(tsIdx)) row.getLong(tsIdx) else 0L
     val s = BucketWriteStats(1L,
@@ -270,19 +322,27 @@ final class SnapshotDataWriter(factory: OutputWriterFactory, conf: Configuration
   }
 
   override def commit(): WriterCommitMessage = {
+    val buckets = writers.keySet.toSeq
     writers.values.foreach(_.close())
     writers.clear()
+    val hfs = fs
+    buckets.foreach { b =>
+      val dest = new org.apache.hadoop.fs.Path(s"$dataPath/bucket=$b/part-$partitionId$ext")
+      hfs.mkdirs(dest.getParent)
+      hfs.delete(dest, false) // replay/speculative twin: overwrite, not duplicate
+      if (!hfs.rename(new org.apache.hadoop.fs.Path(s"$stagingDir/b$b$ext"), dest))
+        throw new java.io.IOException(s"failed to publish $dest from staging")
+    }
+    hfs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
     SnapshotCommitMessage(stats.toMap)
   }
 
   override def abort(): Unit = {
     writers.values.foreach(w => try w.close() catch { case _: Throwable => () })
     writers.clear()
-    val hfs = new org.apache.hadoop.fs.Path(dataPath).getFileSystem(conf)
-    paths.foreach { p =>
-      try hfs.delete(new org.apache.hadoop.fs.Path(p), false)
-      catch { case _: Throwable => () }
-    }
+    try fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
+    catch { case _: Throwable => () }
+    ()
   }
 
   override def close(): Unit = {

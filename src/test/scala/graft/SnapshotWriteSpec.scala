@@ -145,6 +145,33 @@ class SnapshotWriteSpec extends AnyFunSuite with SparkTestBase {
     assert(table.currentSnapshotId == before, "replayed epoch must not advance the snapshot")
   }
 
+  test("attempt durability: staged writes, deterministic names, runId-collision fail-fast") {
+    val dir = Files.createTempDirectory("v2write_idem").toString
+    val rows = (0 until 12).map(i => mk(s"c$i", 0))
+    write(dir, rows, "w1")
+    val table = SnapshotTable.open(dir)
+    val before = table.read(spark).inputFiles.sorted.toSeq
+    assert(before.nonEmpty && before.forall(!_.contains("_staging")))
+    // names are partition-deterministic (no task-attempt suffix): a
+    // replayed/speculative twin RENAMING the same target overwrites
+    // byte-identical content instead of accumulating a duplicate
+    assert(before.forall(_.matches(".*/part-\\d+\\.[a-z0-9.]*parquet$")), before.toString)
+    // no staging residue anywhere under the run dir
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "data", "run=w1", "_staging")))
+
+    // a BATCH re-run with the same runId is an identity collision: appending
+    // the same paths again would double-count — must fail fast, and the
+    // table must be untouched (files overwritten in place are byte-identical)
+    val ex = intercept[Exception] { write(dir, rows, "w1") }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("already committed")), msgs(ex).toString)
+    val after = SnapshotTable.open(dir)
+    assert(after.currentSnapshotId.contains(0L))
+    assert(after.read(spark).inputFiles.sorted.toSeq == before)
+    assert(after.read(spark).count() == 12L)
+  }
+
   test("manifest ts stats from the write match the data (ts-range pruning works on V2-written sets)") {
     val dir = Files.createTempDirectory("v2write_ts").toString
     write(dir, Seq(mk("early", 0)), "w1") // ts = base
