@@ -59,16 +59,34 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     }
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    Files.exists(Paths.get(dirOf(ident), "CURRENT"))
+  override def tableExists(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    // committed tables carry CURRENT; created-but-never-written tables
+    // carry the CREATE TABLE metadata — both are loadable (INSERT INTO a
+    // freshly created table must resolve)
+    Files.exists(Paths.get(dir, "CURRENT")) || SnapshotTableMeta.exists(dir)
+  }
 
   private def load(ident: Identifier, snapshotId: Option[Long]): Table = {
     val dir = dirOf(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val snapId = snapshotId.getOrElse(
-      Files.readString(Paths.get(dir, "CURRENT")).trim.toLong)
+    val meta = SnapshotTableMeta.read(dir)
+    val metaSchema = meta.map(m =>
+      org.apache.spark.sql.types.DataType.fromDDL(m._1).asInstanceOf[StructType])
+    val cur = Paths.get(dir, "CURRENT")
+    if (!Files.exists(cur) && snapshotId.isEmpty) {
+      // created, never written: empty table from the CREATE metadata
+      return new SnapshotV2Table(dir, -1L, Seq.empty,
+        meta.map(_._2).getOrElse(16), metaSchema)
+    }
+    val snapId = snapshotId.getOrElse(Files.readString(cur).trim.toLong)
     val entries = SnapshotManifest.read(dir, snapId)
-    new SnapshotV2Table(dir, snapId, entries, entries.head.numBuckets)
+    // entries may be EMPTY (a delete-only snapshot removed every
+    // conversation) — still a readable, appendable table
+    val nb = entries.headOption.map(_.numBuckets)
+      .orElse(SnapshotManifest.numBucketsAt(dir, snapId)) // tombstone-only
+      .orElse(meta.map(_._2)).getOrElse(16)
+    new SnapshotV2Table(dir, snapId, entries, nb, metaSchema)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -77,17 +95,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(version.toLong))
 
-  /** New-table DDL (`df.writeTo("graft.t").using("graft-snapshot").create()`
-    * / `CREATE TABLE graft.t …`): an empty, uncommitted table — the first
-    * write's commit creates snapshot 0. Bucket count from the `numBuckets`
-    * table property (default 16); schema/partitioning are recorded by the
-    * first commit's manifest, not a separate metadata file. */
+  /** New-table DDL (`CREATE TABLE graft.t …` / `df.writeTo(…).create()`):
+    * persists the declared schema + bucket count as TABLE_META.json so the
+    * created table RESOLVES before its first commit (INSERT INTO right
+    * after CREATE TABLE); snapshot 0 arrives with the first write, and
+    * manifests supersede the metadata from then on. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     val dir = dirOf(ident)
-    Files.createDirectories(Paths.get(dir))
     val nb = Option(properties.get("numBuckets")).map(_.toInt).getOrElse(16)
-    new SnapshotV2Table(dir, -1L, Seq.empty, nb)
+    SnapshotTableMeta.write(dir, schema.catalogString, nb)
+    new SnapshotV2Table(dir, -1L, Seq.empty, nb, Some(schema))
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

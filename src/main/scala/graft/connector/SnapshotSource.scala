@@ -66,31 +66,71 @@ final class SnapshotSource extends TableProvider with DataSourceRegister {
     d
   }
 
-  private def loadTable(options: CaseInsensitiveStringMap): SnapshotV2Table = {
+  private def loadTable(options: CaseInsensitiveStringMap,
+      externalSchema: Option[StructType] = None): SnapshotV2Table = {
     val dir = dirOf(options)
     val cur = Paths.get(dir, "CURRENT")
     val snapOpt = Option(options.get("snapshotId")).map(_.trim.toLong)
       .orElse(if (Files.exists(cur)) Some(Files.readString(cur).trim.toLong) else None)
+    val meta = SnapshotTableMeta.read(dir)
     snapOpt match {
       case Some(snapId) =>
         val entries = SnapshotManifest.read(dir, snapId)
-        require(entries.nonEmpty, s"snapshot $snapId in $dir is empty")
-        new SnapshotV2Table(dir, snapId, entries, entries.head.numBuckets)
+        // entries can legitimately be EMPTY (a delete-only snapshot removed
+        // the last conversation): still a readable, appendable table
+        val nb = entries.headOption.map(_.numBuckets)
+          .orElse(SnapshotManifest.numBucketsAt(dir, snapId)) // tombstone-only
+          .orElse(meta.map(_._2))
+          .getOrElse(Option(options.get("numBuckets")).map(_.trim.toInt).getOrElse(16))
+        new SnapshotV2Table(dir, snapId, entries, nb,
+          externalSchema.orElse(meta.map(m => DataType.fromDDL(m._1).asInstanceOf[StructType])))
       case None =>
-        // no committed snapshot: a WRITE to a brand-new table (first commit
-        // creates snapshot 0). Bucket count comes from the writer's option;
-        // later opens recover it from the manifest.
-        val nb = Option(options.get("numBuckets")).map(_.trim.toInt).getOrElse(16)
-        new SnapshotV2Table(dir, -1L, Seq.empty, nb)
+        // no committed snapshot: a brand-new table (first commit creates
+        // snapshot 0). Bucket count from CREATE TABLE metadata or the
+        // writer's option; later opens recover it from the manifest.
+        val nb = meta.map(_._2)
+          .getOrElse(Option(options.get("numBuckets")).map(_.trim.toInt).getOrElse(16))
+        new SnapshotV2Table(dir, -1L, Seq.empty, nb,
+          externalSchema.orElse(meta.map(m => DataType.fromDDL(m._1).asInstanceOf[StructType])))
     }
   }
+
+  /** A caller-supplied schema (e.g. the dataframe being written to a
+    * brand-new path) is accepted — the format tracks schema per commit,
+    * ExtractedTurn is only the fallback for schemaless empty tables. */
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     loadTable(options).schema()
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    loadTable(new CaseInsensitiveStringMap(properties))
+    loadTable(new CaseInsensitiveStringMap(properties),
+      Option(schema).filter(_.fields.nonEmpty))
+}
+
+/** `CREATE TABLE`-time metadata for tables that have no commit yet (and
+  * the bucket-count/schema fallback for delete-emptied snapshots): one
+  * tiny JSON file, superseded by manifests as soon as snapshot 0 lands. */
+object SnapshotTableMeta {
+  private def file(dir: String) = Paths.get(dir, "TABLE_META.json")
+
+  def write(dir: String, schemaDdl: String, numBuckets: Int): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val esc = schemaDdl.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.writeString(file(dir),
+      s"""{"schema":"$esc","numBuckets":$numBuckets}""")
+    ()
+  }
+
+  def read(dir: String): Option[(String, Int)] =
+    if (!Files.exists(file(dir))) None
+    else {
+      val n = new ObjectMapper().readTree(Files.readString(file(dir)))
+      Some((n.get("schema").asText(), n.get("numBuckets").asInt()))
+    }
+
+  def exists(dir: String): Boolean = Files.exists(file(dir))
 }
 
 /** One manifest line, parsed driver-side (Jackson — no Spark job at
@@ -99,25 +139,44 @@ final class SnapshotSource extends TableProvider with DataSourceRegister {
   * recorded max FLOORS the true max — an overlap test against the raw value
   * could prune a file-set whose last rows sit inside the truncated second.
   * `minTsMs` floors too, which only widens the range (safe). */
-final case class ManifestEntry(bucket: Int, path: String, turns: Long,
-    minTsMs: Long, maxTsMs: Long, schema: String, numBuckets: Int)
+final case class ManifestEntry(bucket: Int, path: String, runId: String,
+    turns: Long, minTsMs: Long, maxTsMs: Long, schema: String, numBuckets: Int)
 
 object SnapshotManifest {
   private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
   private def tsMs(s: String): Long =
     LocalDateTime.parse(s, TsFmt).toInstant(ZoneOffset.UTC).toEpochMilli
 
+  /** Bucket count of a snapshot, including tombstone-only (empty)
+    * manifests — the count a delete-everything table keeps resolving with. */
+  def numBucketsAt(dir: String, snapshotId: Long): Option[Int] = {
+    val f = Paths.get(dir, "manifests", s"snap-$snapshotId.json")
+    if (!Files.exists(f)) None
+    else {
+      val mapper = new ObjectMapper()
+      Files.readAllLines(f).asScala.iterator.filter(_.nonEmpty)
+        .map(mapper.readTree).collectFirst {
+          case n if n.has("buckets") => n.get("buckets").asInt()
+        }
+    }
+  }
+
   def read(dir: String, snapshotId: Long): Seq[ManifestEntry] = {
     val f = Paths.get(dir, "manifests", s"snap-$snapshotId.json")
     require(Files.exists(f), s"snapshot $snapshotId does not exist in $dir")
     val mapper = new ObjectMapper()
-    Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty).map { line =>
+    Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty)
+      // tombstone lines mark a published-but-empty (delete-everything)
+      // snapshot — no entries, but the manifest must exist and carry buckets
+      .filterNot(l => mapper.readTree(l).has("tombstone"))
+      .map { line =>
       val n = mapper.readTree(line)
       val buckets =
         if (n.has("buckets")) n.get("buckets").asInt()
         else -1 // pre-field manifest: resolved below from max(bucket)+1
       ManifestEntry(
-        n.get("bucket").asInt(), n.get("path").asText(), n.get("turns").asLong(),
+        n.get("bucket").asInt(), n.get("path").asText(), n.get("runId").asText(),
+        n.get("turns").asLong(),
         tsMs(n.get("minTs").asText()), tsMs(n.get("maxTs").asText()) + 1000L,
         if (n.has("schema")) n.get("schema").asText() else "", buckets)
     } match {
@@ -130,7 +189,8 @@ object SnapshotManifest {
 }
 
 final class SnapshotV2Table(dir: String, snapshotId: Long,
-    entries: Seq[ManifestEntry], numBuckets: Int)
+    entries: Seq[ManifestEntry], numBuckets: Int,
+    externalSchema: Option[StructType] = None)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -139,6 +199,7 @@ final class SnapshotV2Table(dir: String, snapshotId: Long,
   override def schema(): StructType =
     entries.find(_.schema.nonEmpty).map(e =>
         DataType.fromDDL(e.schema).asInstanceOf[StructType])
+      .orElse(externalSchema)
       .getOrElse(org.apache.spark.sql.Encoders.product[graft.model.ExtractedTurn].schema)
 
   override def capabilities(): java.util.Set[TableCapability] =
@@ -246,23 +307,31 @@ case object SnapshotCountReaderFactory extends PartitionReaderFactory {
   * snapshot-delta instead of one snapshot's full set). */
 private[graft] object SnapshotRead {
 
-  /** Manifest-level pruning: intersect the bucket sets demanded by
-    * conv_id equality/IN filters, and drop file-sets whose [minTs, maxTs]
-    * range cannot overlap the ts predicates. Unknown/other filters prune
-    * nothing (they still reach parquet + Spark's residual evaluation). */
+  /** Manifest-level pruning: intersect the conv_id value sets demanded by
+    * equality/IN filters and keep a file-set iff it could own one of those
+    * conversations — hashed with THE ENTRY'S OWN bucket count, so entries
+    * written before a rebucket (reachable via time travel or an
+    * allowReplaced stream crossing the rewrite) prune correctly under
+    * their original layout. ts predicates drop file-sets whose
+    * [minTs, maxTs] cannot overlap. Unknown/other filters prune nothing
+    * (they still reach parquet + Spark's residual evaluation). */
   def prune(dir: String, numBuckets: Int, entries: Seq[ManifestEntry],
       pushed: Array[Filter]): Seq[ManifestEntry] = {
-    val hashTwin = new SnapshotTable(dir, numBuckets)
-    val bucketSets = pushed.toSeq.collect {
-      case EqualTo(a, v: String) if a.equalsIgnoreCase("conv_id") =>
-        Set(hashTwin.bucketOfId(v))
-      case EqualNullSafe(a, v: String) if a.equalsIgnoreCase("conv_id") =>
-        Set(hashTwin.bucketOfId(v))
+    val twins = scala.collection.mutable.Map.empty[Int, SnapshotTable]
+    def bucketOf(c: String, nb: Int): Int =
+      twins.getOrElseUpdate(nb, new SnapshotTable(dir, nb)).bucketOfId(c)
+    val convSets = pushed.toSeq.collect {
+      case EqualTo(a, v: String) if a.equalsIgnoreCase("conv_id")       => Set(v)
+      case EqualNullSafe(a, v: String) if a.equalsIgnoreCase("conv_id") => Set(v)
       case In(a, vs) if a.equalsIgnoreCase("conv_id") &&
           vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
-        vs.map(v => hashTwin.bucketOfId(v.asInstanceOf[String])).toSet
+        vs.map(_.asInstanceOf[String]).toSet
     }
-    val keepBuckets = bucketSets.reduceOption(_ intersect _)
+    val keepConvs = convSets.reduceOption(_ intersect _)
+    def ownsSome(e: ManifestEntry): Boolean = keepConvs.forall { convs =>
+      val nb = if (e.numBuckets > 0) e.numBuckets else numBuckets
+      convs.exists(c => bucketOf(c, nb) == e.bucket)
+    }
     def ms(v: Any): Option[Long] = v match {
       case t: java.sql.Timestamp => Some(t.getTime)
       case i: java.time.Instant  => Some(i.toEpochMilli)
@@ -281,10 +350,7 @@ private[graft] object SnapshotRead {
         ms(v).foreach(m => hi = math.min(hi, m))
       case _ => ()
     }
-    entries.filter { e =>
-      keepBuckets.forall(_.contains(e.bucket)) &&
-        e.maxTsMs >= lo && e.minTsMs <= hi
-    }
+    entries.filter(e => ownsSome(e) && e.maxTsMs >= lo && e.minTsMs <= hi)
   }
 
   def listFiles(spark: SparkSession,
@@ -367,13 +433,29 @@ final class SnapshotScan(dir: String, entries: Seq[ManifestEntry],
   private var runtimeFilters: Array[Filter] = Array.empty
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("conv_id"))
-  override def filter(filters: Array[Filter]): Unit = { runtimeFilters = filters }
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeFilters = filters
+    cachedKept = null; cachedStatuses = null // re-prune under the late filters
+  }
 
-  private[graft] def keptEntries: Seq[ManifestEntry] =
-    SnapshotRead.prune(dir, numBuckets, entries, pushed ++ runtimeFilters)
+  // prune + listing cached per runtime-filter state: description /
+  // estimateStatistics / planInputPartitions may each be called several
+  // times during planning, and re-listing every kept file-set per call is
+  // repeated driver-side FS IO at manifest scale
+  @volatile private var cachedKept: Seq[ManifestEntry] = _
+  @volatile private var cachedStatuses: Seq[org.apache.hadoop.fs.FileStatus] = _
 
-  private def fileStatuses: Seq[org.apache.hadoop.fs.FileStatus] =
-    SnapshotRead.listFiles(spark, keptEntries)
+  private[graft] def keptEntries: Seq[ManifestEntry] = {
+    if (cachedKept == null)
+      cachedKept = SnapshotRead.prune(dir, numBuckets, entries, pushed ++ runtimeFilters)
+    cachedKept
+  }
+
+  private def fileStatuses: Seq[org.apache.hadoop.fs.FileStatus] = {
+    if (cachedStatuses == null)
+      cachedStatuses = SnapshotRead.listFiles(spark, keptEntries)
+    cachedStatuses
+  }
 
   override def readSchema(): StructType = required
 

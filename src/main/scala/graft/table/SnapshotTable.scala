@@ -88,9 +88,14 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     require(Files.exists(f), s"snapshot $snapshotId does not exist in $dir")
     import spark.implicits._
     val raw = spark.read.json(f.toString)
+    // a tombstone-only manifest (delete-everything snapshot) has no bucket
+    // column: the snapshot is published and EMPTY
+    if (!raw.columns.contains("bucket")) return Seq.empty
+    val noTomb = if (raw.columns.contains("tombstone")) raw.filter(col("tombstone").isNull)
+                 else raw
     // pre-schema-tracking manifests carry no `schema` field: treat as ""
-    val df = if (raw.columns.contains("schema")) raw
-             else raw.withColumn("schema", lit(""))
+    val df = if (noTomb.columns.contains("schema")) noTomb
+             else noTomb.withColumn("schema", lit(""))
     df.select("bucket", "path", "runId", "turns", "blocksKept",
         "blocksDropped", "charsEmitted", "minTs", "maxTs", "schema")
       .as[(Long, String, String, Long, Long, Long, Long, String, String, String)]
@@ -260,7 +265,14 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     // must release it, or this committer's own retry/replay (same parent ⇒
     // same snapId) would wedge on its own abandoned claim.
     try {
-      val lines = (prev ++ newEntries).sortBy(_.bucket).map(entryJson(snapId, parent, _))
+      // a delete-everything commit has ZERO entries: write a tombstone line
+      // instead of a zero-length file — zero length means "unpublished
+      // claim" to snapshotIds/GC, and readers need the bucket count to
+      // keep resolving the (empty) table
+      val entryLines = (prev ++ newEntries).sortBy(_.bucket).map(entryJson(snapId, parent, _))
+      val lines =
+        if (entryLines.nonEmpty) entryLines
+        else Seq(s"""{"snapshotId":$snapId,"parentId":$parent,"buckets":$numBuckets,"tombstone":true}""")
       val tmpM = manifestsDir.resolve(s"snap-$snapId.json.tmp")
       Files.writeString(tmpM, lines.mkString("\n"))
       Files.move(tmpM, target,

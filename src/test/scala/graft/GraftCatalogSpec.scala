@@ -85,6 +85,36 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(control.count() == 60L)
   }
 
+  test("CREATE TABLE then INSERT INTO resolves and commits snapshot 0") {
+    val s = catalogSession(spj = false)
+    s.sql("CREATE TABLE graft.fresh (conv_id STRING, ts TIMESTAMP, note STRING) " +
+      "USING `graft-snapshot` TBLPROPERTIES ('numBuckets'='4')")
+    assert(s.table("graft.fresh").count() == 0L) // resolvable before any commit
+    s.sql("INSERT INTO graft.fresh VALUES ('c1', TIMESTAMP'2026-01-01 00:00:00', 'hello')")
+    val rows = s.sql("SELECT conv_id, note FROM graft.fresh").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("c1", "hello")))
+    assert(s.sql("SELECT count(*) FROM graft.fresh").collect().head.getLong(0) == 1L)
+    s.sql("DROP TABLE graft.fresh")
+    assert(!s.catalog.tableExists("graft.fresh"))
+  }
+
+  test("a delete-emptied snapshot still loads as an empty, appendable table") {
+    import testImplicits._
+    val s = catalogSession(spj = false)
+    val dir = s"$warehouse/t_empty"
+    (0 until 3).map(i => mk(s"e$i", 0, "x")).toDS().toDF()
+      .write.format("graft-snapshot").mode("append")
+      .option("numBuckets", "4").option("runId", "w1").save(dir)
+    val table = graft.table.SnapshotTable.open(dir)
+    table.deleteConversations(spark, (0 until 3).map(i => s"e$i"), "del1")
+    assert(s.table("graft.t_empty").count() == 0L)
+    // and it accepts a fresh append afterwards
+    Seq(mk("e_new", 0, "y")).toDS().toDF()
+      .write.format("graft-snapshot").mode("append")
+      .option("runId", "w2").save(dir)
+    assert(s.table("graft.t_empty").count() == 1L)
+  }
+
   test("grouped scan mode keeps per-bucket partition keys consistent with the data") {
     val s = catalogSession(spj = true)
     // groupBy conv_id ON TOP of the keyed scan: Spark may also use the

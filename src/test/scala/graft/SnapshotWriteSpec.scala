@@ -140,8 +140,8 @@ class SnapshotWriteSpec extends AnyFunSuite with SparkTestBase {
     val write = new graft.connector.SnapshotStreamingWrite(dir, 4,
       org.apache.spark.sql.Encoders.product[ExtractedTurn].schema,
       queryId = table.committedEntries(spark).head.runId.stripSuffix("-0"))
-    write.commit(0L, Array(graft.connector.SnapshotCommitMessage(
-      Map(0 -> graft.connector.BucketWriteStats(99L, 0L, 0L, 0L, 0L, 0L)))))
+    write.commit(0L, Array(graft.connector.SnapshotCommitMessage(0,
+      Map(0 -> graft.connector.BucketWriteStats(99L, 0L, 0L, 0L, 0L, 0L)), Map.empty)))
     assert(table.currentSnapshotId == before, "replayed epoch must not advance the snapshot")
   }
 
@@ -170,6 +170,57 @@ class SnapshotWriteSpec extends AnyFunSuite with SparkTestBase {
     assert(after.currentSnapshotId.contains(0L))
     assert(after.read(spark).inputFiles.sorted.toSeq == before)
     assert(after.read(spark).count() == 12L)
+  }
+
+  test("generic schema: a non-ExtractedTurn dataframe writes to a fresh table and reads back") {
+    import testImplicits._
+    val dir = Files.createTempDirectory("v2write_gen").toString
+    val df = Seq(("convA", new Timestamp(base), "payload-1"),
+      ("convB", new Timestamp(base + 1000L), "payload-2"))
+      .toDF("conv_id", "ts", "payload")
+    df.write.format("graft-snapshot").mode("append")
+      .option("numBuckets", "4").option("runId", "g1").save(dir)
+    val back = spark.read.format("graft-snapshot").load(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("conv_id", "ts", "payload"))
+    assert(back.select("conv_id", "payload").as[(String, String)].collect().toSet ==
+      Set(("convA", "payload-1"), ("convB", "payload-2")))
+    // manifest stats: turns counted, absent blocks/chars columns are zero
+    val table = SnapshotTable.open(dir)
+    assert(table.stats(spark).collect().map(_.getLong(2)).sum == 2L)
+  }
+
+  test("a crashed prior attempt's stale bucket files are cleared by the driver publish") {
+    val dir = Files.createTempDirectory("v2write_stale").toString
+    // fabricate a crashed attempt of run w1: a renamed file from a WIDER
+    // partition layout sits in a bucket dir, unreferenced by any manifest
+    val staleDir = java.nio.file.Paths.get(dir, "data", "run=w1", "bucket=2")
+    Files.createDirectories(staleDir)
+    Files.writeString(staleDir.resolve("part-99.snappy.parquet"), "GARBAGE")
+    val staleStaging = java.nio.file.Paths.get(dir, "data", "run=w1", "_staging", "attempt-7-7")
+    Files.createDirectories(staleStaging)
+
+    write(dir, (0 until 12).map(i => mk(s"c$i", 0)), "w1")
+    // the stale file and staging are gone; the table reads exactly 12 rows
+    assert(!Files.exists(staleDir.resolve("part-99.snappy.parquet")))
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "data", "run=w1", "_staging")))
+    assert(SnapshotTable.open(dir).read(spark).count() == 12L)
+  }
+
+  test("replay lineage survives compaction: a replayed epoch after compact is still a no-op") {
+    import testImplicits._
+    val dir = Files.createTempDirectory("v2write_compact").toString
+    write(dir, (0 until 8).map(i => mk(s"c$i", 0)), "qidX-0") // "epoch 0"
+    val table = SnapshotTable.open(dir)
+    table.compact(spark, "compactRun") // CURRENT's entries now carry compactRun
+    val before = table.currentSnapshotId
+
+    val write0 = new graft.connector.SnapshotStreamingWrite(dir, 4,
+      org.apache.spark.sql.Encoders.product[ExtractedTurn].schema, queryId = "qidX")
+    write0.commit(0L, Array(graft.connector.SnapshotCommitMessage(0,
+      Map(0 -> graft.connector.BucketWriteStats(99L, 0L, 0L, 0L, 0L, 0L)), Map.empty)))
+    assert(table.currentSnapshotId == before,
+      "epoch replay after compaction must find its lineage in the retained manifests")
+    assert(table.read(spark).count() == 8L)
   }
 
   test("manifest ts stats from the write match the data (ts-range pruning works on V2-written sets)") {
