@@ -192,9 +192,46 @@ final class SnapshotV2Table(dir: String, snapshotId: Long,
     entries: Seq[ManifestEntry], numBuckets: Int,
     externalSchema: Option[StructType] = None)
   extends Table with SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
-  override def name(): String = s"graft-snapshot `$dir` @ $snapshotId"
+  // plain name only: Spark's AttributeNameParser parses table names in
+  // some write plans (OverwriteByExpression), and backticks break it
+  override def name(): String = dir
+
+  /** SQL `DELETE FROM graft.t WHERE conv_id = … / conv_id IN (…)` — the
+    * row-level maintenance face, accepted exactly when the predicate pins
+    * whole conversations (the table key): it maps to the library's
+    * bucket-targeted [[SnapshotTable.deleteConversations]], which rewrites
+    * ONLY the owning buckets crash-safely. Any other predicate is
+    * declined (Spark reports it unsupported) rather than approximated. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.nonEmpty && filters.forall {
+      case EqualTo(a, _: String) if a.equalsIgnoreCase("conv_id")       => true
+      case EqualNullSafe(a, _: String) if a.equalsIgnoreCase("conv_id") => true
+      case In(a, vs) if a.equalsIgnoreCase("conv_id") &&
+        vs.nonEmpty && vs.forall(_.isInstanceOf[String])                => true
+      case _                                                            => false
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val sets = filters.map {
+      case EqualTo(_, v: String)       => Set(v)
+      case EqualNullSafe(_, v: String) => Set(v)
+      case In(_, vs)                   => vs.map(_.asInstanceOf[String]).toSet
+    }
+    val convs = sets.reduce(_ intersect _).toSeq.sorted
+    if (convs.isEmpty) return
+    val spark = SparkSession.active
+    val table = new SnapshotTable(dir, numBuckets)
+    // deleting conversations that don't exist is a no-op, not an error
+    val committed = table.committedBuckets(spark)
+    val present = convs.filter(c => committed(table.bucketOfId(c)))
+    if (present.isEmpty) return
+    val runId = s"delete-$snapshotId-${math.abs(present.mkString(",").hashCode)}"
+    table.deleteConversations(spark, present, runId)
+    ()
+  }
 
   override def schema(): StructType =
     entries.find(_.schema.nonEmpty).map(e =>
@@ -204,7 +241,8 @@ final class SnapshotV2Table(dir: String, snapshotId: Long,
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
 
   /** The physical layout as V2 metadata: resolved against the catalog's
     * `bucket` function, this is what lets two snapshot tables prove they

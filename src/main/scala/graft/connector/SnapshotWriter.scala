@@ -51,12 +51,21 @@ import java.time.{Instant, ZoneOffset}
   * the streaming-sink merge rule); compaction folds them back.
   */
 final class SnapshotWriteBuilder(dir: String, numBuckets: Int,
-    info: LogicalWriteInfo) extends WriteBuilder {
+    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
 
-  override def build(): Write = new SnapshotWrite(dir, numBuckets, info)
+  private var truncateFirst = false
+
+  /** `mode("overwrite")` / `INSERT OVERWRITE`: the committed snapshot
+    * becomes EXACTLY this write's data — previous buckets drop from the
+    * new manifest (their files stay for time travel until GC), nothing is
+    * deleted in place. */
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = new SnapshotWrite(dir, numBuckets, info, truncateFirst)
 }
 
-final class SnapshotWrite(dir: String, numBuckets: Int, info: LogicalWriteInfo)
+final class SnapshotWrite(dir: String, numBuckets: Int, info: LogicalWriteInfo,
+    truncateFirst: Boolean = false)
   extends Write with RequiresDistributionAndOrdering {
 
   require(info.schema().fieldNames.contains("conv_id"),
@@ -73,7 +82,7 @@ final class SnapshotWrite(dir: String, numBuckets: Int, info: LogicalWriteInfo)
 
   override def toBatch: BatchWrite = {
     val runId = Option(info.options().get("runId")).getOrElse(info.queryId())
-    new SnapshotBatchWrite(dir, numBuckets, info.schema(), runId)
+    new SnapshotBatchWrite(dir, numBuckets, info.schema(), runId, truncateFirst)
   }
 
   /** Streaming sink face: one snapshot per micro-batch, runId =
@@ -135,7 +144,7 @@ private[graft] object SnapshotWriterUtil {
     * already established that `runId` is fresh. */
   def publish(spark: SparkSession, dir: String, numBuckets: Int,
       dataPath: String, runId: String, schema: StructType,
-      messages: Array[WriterCommitMessage]): Option[Long] = {
+      messages: Array[WriterCommitMessage], truncateFirst: Boolean = false): Option[Long] = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new HPath(dataPath).getFileSystem(conf)
 
@@ -178,7 +187,14 @@ private[graft] object SnapshotWriterUtil {
         TsFmt.format(Instant.ofEpochMilli(s.minTsUs / 1000L)),
         TsFmt.format(Instant.ofEpochMilli(s.maxTsUs / 1000L)), schemaDdl)
     }
-    table.commitEntries(spark, entries, replaceBuckets = false)
+    if (truncateFirst)
+      // overwrite: the new snapshot = exactly this write — every previous
+      // bucket is force-replaced out of the manifest (files remain for
+      // time travel until expireSnapshots)
+      table.commitEntries(spark, entries, replaceBuckets = true,
+        forceReplace = table.committedBuckets(spark))
+    else
+      table.commitEntries(spark, entries, replaceBuckets = false)
   }
 
   /** Failed/aborted job: nothing was published (publish is the only
@@ -201,7 +217,8 @@ private[graft] object SnapshotWriterUtil {
 }
 
 final class SnapshotBatchWrite(dir: String, numBuckets: Int,
-    schema: StructType, runId: String) extends BatchWrite {
+    schema: StructType, runId: String, truncateFirst: Boolean = false)
+  extends BatchWrite {
 
   private val dataPath = s"$dir/data/run=$runId"
 
@@ -219,7 +236,8 @@ final class SnapshotBatchWrite(dir: String, numBuckets: Int,
       throw new IllegalStateException(
         s"runId $runId is already committed in $dir — pick a fresh runId " +
           "(batch writes are not replayable; the streaming face handles epoch replays)")
-    SnapshotWriterUtil.publish(spark, dir, numBuckets, dataPath, runId, schema, messages)
+    SnapshotWriterUtil.publish(spark, dir, numBuckets, dataPath, runId, schema,
+      messages, truncateFirst)
     ()
   }
 

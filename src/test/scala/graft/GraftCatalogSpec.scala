@@ -115,6 +115,46 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(s.table("graft.t_empty").count() == 1L)
   }
 
+  test("SQL DELETE FROM: conv_id predicates map to bucket-targeted row-level delete") {
+    import testImplicits._
+    val s = catalogSession(spj = false)
+    val dir = s"$warehouse/t_del"
+    (0 until 10).map(i => mk(s"d$i", 0, "x")).toDS().toDF()
+      .write.format("graft-snapshot").mode("append")
+      .option("numBuckets", "4").option("runId", "w1").save(dir)
+
+    s.sql("DELETE FROM graft.t_del WHERE conv_id = 'd3'")
+    assert(s.table("graft.t_del").count() == 9L)
+    assert(s.sql("SELECT * FROM graft.t_del WHERE conv_id = 'd3'").count() == 0L)
+    s.sql("DELETE FROM graft.t_del WHERE conv_id IN ('d4', 'd5')")
+    assert(s.table("graft.t_del").count() == 7L)
+    // non-key predicate: declined, not approximated
+    intercept[Exception] { s.sql("DELETE FROM graft.t_del WHERE turn_idx = 0") }
+    assert(s.table("graft.t_del").count() == 7L)
+    // deleting a conversation that doesn't exist is a no-op
+    s.sql("DELETE FROM graft.t_del WHERE conv_id = 'nope'")
+    assert(s.table("graft.t_del").count() == 7L)
+  }
+
+  test("INSERT OVERWRITE / mode(overwrite): snapshot becomes exactly the new data, history time-travels") {
+    import testImplicits._
+    val s = catalogSession(spj = false)
+    val dir = s"$warehouse/t_ovw"
+    (0 until 10).map(i => mk(s"o$i", 0, "old")).toDS().toDF()
+      .write.format("graft-snapshot").mode("append")
+      .option("numBuckets", "4").option("runId", "w1").save(dir)
+    (0 until 3).map(i => mk(s"n$i", 0, "new")).toDS().toDF()
+      .write.format("graft-snapshot").mode("overwrite")
+      .option("runId", "w2").save(dir)
+
+    assert(s.table("graft.t_ovw").count() == 3L)
+    assert(s.table("graft.t_ovw").select("text").collect()
+      .forall(_.getString(0).startsWith("new")))
+    // the pre-overwrite snapshot remains time-travel-able
+    assert(s.sql("SELECT count(*) FROM graft.t_ovw VERSION AS OF 0")
+      .collect().head.getLong(0) == 10L)
+  }
+
   test("grouped scan mode keeps per-bucket partition keys consistent with the data") {
     val s = catalogSession(spj = true)
     // groupBy conv_id ON TOP of the keyed scan: Spark may also use the
