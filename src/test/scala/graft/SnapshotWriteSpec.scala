@@ -223,6 +223,25 @@ class SnapshotWriteSpec extends AnyFunSuite with SparkTestBase {
     assert(table.read(spark).count() == 8L)
   }
 
+  test("snapshot GC interop: expireSnapshots reclaims V2-written file-sets that only expired manifests reference") {
+    import testImplicits._
+    val dir = Files.createTempDirectory("v2write_gc").toString
+    write(dir, (0 until 6).map(i => mk(s"g$i", 0)), "w1") // snap 0
+    // overwrite: snap 1 references ONLY w2's files; w1's survive for time travel
+    (0 until 2).map(i => mk(s"h$i", 0)).toDS().toDF()
+      .write.format("graft-snapshot").mode("overwrite")
+      .option("runId", "w2").save(dir)
+    val table = SnapshotTable.open(dir)
+    val w1Files = java.nio.file.Paths.get(dir, "data", "run=w1")
+    assert(Files.exists(w1Files)) // still time-travel-able pre-GC
+    assert(table.readAt(spark, 0L).count() == 6L)
+
+    val deleted = table.expireSnapshots(spark, keepLast = 1)
+    assert(deleted.nonEmpty && deleted.forall(_.contains("run=w1")), deleted.toString)
+    assert(table.read(spark).count() == 2L) // live snapshot untouched
+    assert(table.snapshotIds == Seq(1L))
+  }
+
   test("manifest ts stats from the write match the data (ts-range pruning works on V2-written sets)") {
     val dir = Files.createTempDirectory("v2write_ts").toString
     write(dir, Seq(mk("early", 0)), "w1") // ts = base
