@@ -643,16 +643,22 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
       finally w.close()
       bucket.toString
     }
-    // drop run dirs reduced to writer-side markers (_SUCCESS, .crc) — but
-    // only if the markers themselves are past the horizon (a run dir whose
-    // buckets were ALL orphaned above is residue; a just-created one with
-    // no buckets yet may be a writer about to move files in)
+    // drop run dirs reduced to writer-side markers (_SUCCESS, .crc) or a
+    // crashed V2 writer's _staging TREE — but only if the residue itself is
+    // past the horizon (a run dir whose buckets were ALL orphaned above is
+    // garbage; a just-created one with no buckets yet may be a writer about
+    // to move files in). Markers can be whole directories (_staging holds
+    // per-attempt subtrees), so deletion is recursive.
     listDir(dataDir).filter(Files.isDirectory(_)).foreach { run =>
       val residue = listDir(run)
       if (residue.forall(f => { val n = f.getFileName.toString
         n.startsWith("_") || n.startsWith(".") }) &&
           (residue.isEmpty || newestMtime(run) < horizon)) {
-        residue.foreach(Files.deleteIfExists(_))
+        residue.foreach { f =>
+          val w = Files.walk(f)
+          try w.iterator.asScala.toSeq.reverseIterator.foreach(Files.deleteIfExists(_))
+          finally w.close()
+        }
         Files.deleteIfExists(run)
       }
     }

@@ -242,6 +242,24 @@ class SnapshotWriteSpec extends AnyFunSuite with SparkTestBase {
     assert(table.snapshotIds == Seq(1L))
   }
 
+  test("removeOrphanFiles collects a crashed V2 writer's run dir including its _staging tree") {
+    val dir = Files.createTempDirectory("v2write_orphan").toString
+    write(dir, (0 until 4).map(i => mk(s"k$i", 0)), "w1")
+    // a crashed attempt: unreferenced run dir with bucket data AND a
+    // non-empty staging subtree (this used to make the residue sweep throw)
+    val crashed = java.nio.file.Paths.get(dir, "data", "run=crashed")
+    Files.createDirectories(crashed.resolve("bucket=1"))
+    Files.writeString(crashed.resolve("bucket=1").resolve("part-0.parquet"), "x")
+    Files.createDirectories(crashed.resolve("_staging").resolve("attempt-3-3"))
+    Files.writeString(crashed.resolve("_staging").resolve("attempt-3-3").resolve("b1.parquet"), "y")
+
+    val table = SnapshotTable.open(dir)
+    val deleted = table.removeOrphanFiles(spark, olderThanMillis = -1000L) // everything is "old"
+    assert(deleted.exists(_.contains("run=crashed")), deleted.toString)
+    assert(!Files.exists(crashed))
+    assert(table.read(spark).count() == 4L) // committed data untouched
+  }
+
   test("manifest ts stats from the write match the data (ts-range pruning works on V2-written sets)") {
     val dir = Files.createTempDirectory("v2write_ts").toString
     write(dir, Seq(mk("early", 0)), "w1") // ts = base
