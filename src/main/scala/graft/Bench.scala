@@ -299,7 +299,16 @@ object Bench {
       // a degraded host; the round-3 advice flagged the skew both ways.)
       def effOf(l: String) = grabIn(l, "efficiency").toDoubleOption.getOrElse(-1.0)
       def hostOf(l: String) = grabIn(l, "hostCeiling").toDoubleOption.getOrElse(-1.0)
-      val clean = allHist.filter(l => hostOf(l) >= 0.9 && hostOf(l) <= 1.05)
+      def tpsNOf(l: String) = grabIn(l, "tps_n").toDoubleOption.getOrElse(-1.0)
+      // second qualification: the NARROW level must itself be healthy. A
+      // bus-throttled N phase (slow tps_n, e.g. memCeiling 0.3 windows)
+      // deflates the denominator and INFLATES efficiency — a 0.9+ "sample"
+      // with tps_n 30% under the fleet norm is co-tenant noise, not code.
+      // Gate on tps_n ≥ 0.9 × the history median.
+      val tpsNs = allHist.map(tpsNOf).filter(_ > 0).sorted
+      val tpsNMedian = if (tpsNs.isEmpty) 0.0 else tpsNs(tpsNs.size / 2)
+      val clean = allHist.filter(l => hostOf(l) >= 0.9 && hostOf(l) <= 1.05 &&
+        tpsNOf(l) >= 0.9 * tpsNMedian)
       val best = clean.maxByOption(effOf)
         .orElse(allHist.maxByOption(effOf)).getOrElse(histLine)
       def gb(k: String) = grabIn(best, k) match {
@@ -319,12 +328,14 @@ object Bench {
            |(hottest conversation = $hotBase turns).
            |
            |### Headline: best clean-window sample from the run history
-           |(policy: best efficiency among samples whose same-minute pure-CPU
-           |host probe was flat, 0.9 ≤ hostCeiling ≤ 1.05 — the sandbox VM's
-           |multi-core throughput wobbles ±20-30% with co-tenants, and a
-           |ceiling far from 1 in EITHER direction makes the sample say more
-           |about the host than the code; the full distribution is below,
-           |the latest sample beside it)
+           |(policy: best efficiency among samples that pass BOTH gates —
+           |same-minute pure-CPU host probe flat, 0.9 ≤ hostCeiling ≤ 1.05,
+           |AND a healthy narrow level, tps@N ≥ 0.9 × history median: the
+           |sandbox VM wobbles ±20-30% with co-tenants, a host ceiling far
+           |from 1 in either direction means the WIDE level measured the
+           |host, and a bus-throttled N phase deflates the denominator and
+           |fakes high efficiency. The full distribution is below, the
+           |latest sample beside the headline.)
            |
            || metric | best clean window | latest sample |
            ||---|---|---|
