@@ -193,7 +193,17 @@ final class SnapshotV2Table(dir: String, snapshotId: Long,
     externalSchema: Option[StructType] = None)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL `UPDATE` / `MERGE INTO` / non-key `DELETE`: group-based
+    * copy-on-write over buckets ([[SnapshotRowLevelOperation]]).
+    * Key-only deletes still collapse to the metadata path below —
+    * Spark's OptimizeMetadataOnlyDeleteFromTable prefers `deleteWhere`
+    * whenever [[canDeleteWhere]] accepts the whole condition. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo): org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new SnapshotRowLevelOperation(dir, entries, numBuckets, schema(), info.command())
 
   // plain name only: Spark's AttributeNameParser parses table names in
   // some write plans (OverwriteByExpression), and backticks break it

@@ -141,10 +141,17 @@ private[graft] object SnapshotWriterUtil {
 
   /** Steps (2)-(4) of the protocol: clean stale bucket dirs, rename staged
     * files to deterministic names, publish the manifest. Caller has
-    * already established that `runId` is fresh. */
+    * already established that `runId` is fresh.
+    *
+    * `replaceExactly` is the copy-on-write commit rule: the new snapshot
+    * drops previous entries of EXACTLY those bucket ids (the groups the
+    * operation scan read) and appends every new entry — including entries
+    * for buckets outside the set (MERGE inserts), which accumulate
+    * alongside that bucket's existing file-sets like a streaming append. */
   def publish(spark: SparkSession, dir: String, numBuckets: Int,
       dataPath: String, runId: String, schema: StructType,
-      messages: Array[WriterCommitMessage], truncateFirst: Boolean = false): Option[Long] = {
+      messages: Array[WriterCommitMessage], truncateFirst: Boolean = false,
+      replaceExactly: Option[Set[Int]] = None): Option[Long] = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new HPath(dataPath).getFileSystem(conf)
 
@@ -193,6 +200,9 @@ private[graft] object SnapshotWriterUtil {
       // time travel until expireSnapshots)
       table.commitEntries(spark, entries, replaceBuckets = true,
         forceReplace = table.committedBuckets(spark))
+    else if (replaceExactly.isDefined)
+      table.commitEntries(spark, entries, replaceBuckets = false,
+        replaceExactly = replaceExactly)
     else
       table.commitEntries(spark, entries, replaceBuckets = false)
   }

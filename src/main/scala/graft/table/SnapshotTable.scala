@@ -202,17 +202,25 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     * [[BucketEntry]]s and this publishes manifest-then-CURRENT under the
     * same optimistic-concurrency claim as the library path. */
   def commitEntries(spark: SparkSession, newEntries: Seq[BucketEntry],
-      replaceBuckets: Boolean, forceReplace: Set[Int] = Set.empty): Option[Long] = {
+      replaceBuckets: Boolean, forceReplace: Set[Int] = Set.empty,
+      replaceExactly: Option[Set[Int]] = None): Option[Long] = {
     val schemaDdl = newEntries.headOption.map(_.schema).getOrElse("")
-    if (newEntries.isEmpty && forceReplace.isEmpty) return None
+    if (newEntries.isEmpty && forceReplace.isEmpty && replaceExactly.forall(_.isEmpty))
+      return None
 
     // 3. MANIFEST SECOND: full committed set = parent's ∪ new.
     val parent = currentSnapshotId.getOrElse(-1L)
-    val prev =
-      if (replaceBuckets)
-        committedEntries(spark).filterNot(e =>
-          forceReplace(e.bucket) || newEntries.exists(_.bucket == e.bucket))
-      else committedEntries(spark)
+    val prev = replaceExactly match {
+      // copy-on-write rule: drop EXACTLY the scanned groups; new entries
+      // append (a new entry for an unscanned bucket rides alongside that
+      // bucket's existing file-sets, like a streaming append)
+      case Some(rb) => committedEntries(spark).filterNot(e => rb(e.bucket))
+      case None =>
+        if (replaceBuckets)
+          committedEntries(spark).filterNot(e =>
+            forceReplace(e.bucket) || newEntries.exists(_.bucket == e.bucket))
+        else committedEntries(spark)
+    }
     // delete-only commits (no new entries ⇒ schemaDdl empty) change no
     // schema and skip the guard
     prev.find(e => schemaDdl.nonEmpty && e.schema.nonEmpty && e.schema != schemaDdl).foreach { e =>

@@ -128,12 +128,67 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(s.sql("SELECT * FROM graft.t_del WHERE conv_id = 'd3'").count() == 0L)
     s.sql("DELETE FROM graft.t_del WHERE conv_id IN ('d4', 'd5')")
     assert(s.table("graft.t_del").count() == 7L)
-    // non-key predicate: declined, not approximated
-    intercept[Exception] { s.sql("DELETE FROM graft.t_del WHERE turn_idx = 0") }
+    // non-key predicate: executed as a copy-on-write group rewrite (no
+    // longer declined — SupportsRowLevelOperations). Matches nothing here,
+    // so the table rewrites to the same 7 rows.
+    s.sql("DELETE FROM graft.t_del WHERE turn_idx = 5")
     assert(s.table("graft.t_del").count() == 7L)
     // deleting a conversation that doesn't exist is a no-op
     s.sql("DELETE FROM graft.t_del WHERE conv_id = 'nope'")
     assert(s.table("graft.t_del").count() == 7L)
+  }
+
+  test("SQL UPDATE / MERGE INTO / non-key DELETE: copy-on-write bucket rewrite") {
+    import testImplicits._
+    val s = catalogSession(spj = false)
+    val dir = s"$warehouse/t_cow"
+    val seed = (0 until 8).flatMap(i => Seq(mk(s"u$i", 0, "a"), mk(s"u$i", 1, "b")))
+    seed.toDS().toDF().write.format("graft-snapshot").mode("append")
+      .option("numBuckets", "4").option("runId", "w1").save(dir)
+
+    val table = graft.table.SnapshotTable.open(dir)
+    val before = table.committedEntries(spark).map(e => e.bucket -> (e.path, e.runId)).toMap
+
+    // key-pruned UPDATE: rewrites ONLY the bucket owning u3
+    s.sql("UPDATE graft.t_cow SET text = 'patched' WHERE conv_id = 'u3' AND turn_idx = 1")
+    assert(s.table("graft.t_cow").count() == 16L)
+    assert(s.sql("SELECT text FROM graft.t_cow WHERE conv_id='u3' AND turn_idx=1")
+      .collect().map(_.getString(0)).toSeq == Seq("patched"))
+    assert(s.sql("SELECT text FROM graft.t_cow WHERE conv_id='u3' AND turn_idx=0")
+      .collect().head.getString(0).startsWith("a"))
+    val after = table.committedEntries(spark).map(e => e.bucket -> (e.path, e.runId)).toMap
+    val hot = table.bucketOfId("u3")
+    assert(after(hot) != before(hot), "the scanned bucket must be rewritten")
+    (before.keySet - hot).foreach { b =>
+      assert(after(b) == before(b), s"untouched bucket $b must keep its file-set")
+    }
+    // the pre-operation snapshot stays time-travelable
+    assert(s.sql("SELECT text FROM graft.t_cow VERSION AS OF 0 WHERE conv_id='u3' AND turn_idx=1")
+      .collect().head.getString(0).startsWith("b"))
+
+    // non-key UPDATE: full-table copy-on-write, all rows preserved
+    s.sql("UPDATE graft.t_cow SET role = 'assistant' WHERE turn_idx = 1")
+    assert(s.sql("SELECT count(*) FROM graft.t_cow WHERE role = 'assistant'")
+      .collect().head.getLong(0) == 8L)
+    assert(s.table("graft.t_cow").count() == 16L)
+
+    // non-key DELETE: rows actually drop
+    s.sql("DELETE FROM graft.t_cow WHERE turn_idx = 1")
+    assert(s.table("graft.t_cow").count() == 8L)
+
+    // MERGE INTO: update matched rows, insert brand-new conversations
+    s.createDataFrame(Seq(mk("u0", 0, "merged"), mk("zz1", 0, "fresh")))
+      .createOrReplaceTempView("cow_src")
+    s.sql(
+      """MERGE INTO graft.t_cow t USING cow_src v
+        |ON t.conv_id = v.conv_id AND t.turn_idx = v.turn_idx
+        |WHEN MATCHED THEN UPDATE SET t.text = v.text
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(s.table("graft.t_cow").count() == 9L)
+    assert(s.sql("SELECT text FROM graft.t_cow WHERE conv_id='u0'")
+      .collect().head.getString(0).startsWith("merged"))
+    assert(s.sql("SELECT text FROM graft.t_cow WHERE conv_id='zz1'")
+      .collect().head.getString(0).startsWith("fresh"))
   }
 
   test("INSERT OVERWRITE / mode(overwrite): snapshot becomes exactly the new data, history time-travels") {
