@@ -82,7 +82,8 @@ final class SnapshotWrite(dir: String, numBuckets: Int, info: LogicalWriteInfo,
 
   override def toBatch: BatchWrite = {
     val runId = Option(info.options().get("runId")).getOrElse(info.queryId())
-    new SnapshotBatchWrite(dir, numBuckets, info.schema(), runId, truncateFirst)
+    val wap = Option(info.options().get("wap")).exists(_.trim.toBoolean)
+    new SnapshotBatchWrite(dir, numBuckets, info.schema(), runId, truncateFirst, wap)
   }
 
   /** Streaming sink face: one snapshot per micro-batch, runId =
@@ -151,7 +152,8 @@ private[graft] object SnapshotWriterUtil {
   def publish(spark: SparkSession, dir: String, numBuckets: Int,
       dataPath: String, runId: String, schema: StructType,
       messages: Array[WriterCommitMessage], truncateFirst: Boolean = false,
-      replaceExactly: Option[Set[Int]] = None): Option[Long] = {
+      replaceExactly: Option[Set[Int]] = None,
+      stageOnly: Boolean = false): Option[Long] = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new HPath(dataPath).getFileSystem(conf)
 
@@ -199,12 +201,13 @@ private[graft] object SnapshotWriterUtil {
       // bucket is force-replaced out of the manifest (files remain for
       // time travel until expireSnapshots)
       table.commitEntries(spark, entries, replaceBuckets = true,
-        forceReplace = table.committedBuckets(spark))
+        forceReplace = table.committedBuckets(spark), publish = !stageOnly)
     else if (replaceExactly.isDefined)
       table.commitEntries(spark, entries, replaceBuckets = false,
-        replaceExactly = replaceExactly)
+        replaceExactly = replaceExactly, publish = !stageOnly)
     else
-      table.commitEntries(spark, entries, replaceBuckets = false)
+      table.commitEntries(spark, entries, replaceBuckets = false,
+        publish = !stageOnly)
   }
 
   /** Failed/aborted job: nothing was published (publish is the only
@@ -226,8 +229,13 @@ private[graft] object SnapshotWriterUtil {
   }
 }
 
+/** `option("wap", "true")` stages the commit for write-audit-publish:
+  * data + manifest land, CURRENT stays — audit via
+  * `option("snapshotId", <staged>)`, then `SnapshotTable.publishStaged`
+  * or `discardStaged`. While staged, the id blocks other committers. */
 final class SnapshotBatchWrite(dir: String, numBuckets: Int,
-    schema: StructType, runId: String, truncateFirst: Boolean = false)
+    schema: StructType, runId: String, truncateFirst: Boolean = false,
+    stageOnly: Boolean = false)
   extends BatchWrite {
 
   private val dataPath = s"$dir/data/run=$runId"
@@ -247,7 +255,7 @@ final class SnapshotBatchWrite(dir: String, numBuckets: Int,
         s"runId $runId is already committed in $dir — pick a fresh runId " +
           "(batch writes are not replayable; the streaming face handles epoch replays)")
     SnapshotWriterUtil.publish(spark, dir, numBuckets, dataPath, runId, schema,
-      messages, truncateFirst)
+      messages, truncateFirst, stageOnly = stageOnly)
     ()
   }
 

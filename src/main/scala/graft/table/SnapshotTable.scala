@@ -203,7 +203,8 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     * same optimistic-concurrency claim as the library path. */
   def commitEntries(spark: SparkSession, newEntries: Seq[BucketEntry],
       replaceBuckets: Boolean, forceReplace: Set[Int] = Set.empty,
-      replaceExactly: Option[Set[Int]] = None): Option[Long] = {
+      replaceExactly: Option[Set[Int]] = None,
+      publish: Boolean = true): Option[Long] = {
     val schemaDdl = newEntries.headOption.map(_.schema).getOrElse("")
     if (newEntries.isEmpty && forceReplace.isEmpty && replaceExactly.forall(_.isEmpty))
       return None
@@ -286,6 +287,20 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
       Files.move(tmpM, target,
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
 
+      if (!publish) {
+        // WRITE-AUDIT-PUBLISH staging: everything above happened — data
+        // landed, the id is claimed, the manifest is readable via time
+        // travel — but CURRENT does not move. The marker is what tells
+        // removeOrphanManifests "a live audit, not a crashed committer":
+        // a stager killed before this line left an unmarked unpublished
+        // manifest, which the age-gated reclaim treats exactly like any
+        // other crashed commit. While staged, the id blocks the chain —
+        // every other committer conflicts until publishStaged/
+        // discardStaged resolves the audit (that IS the gate).
+        Files.writeString(stagedMarker(snapId), "")
+        return Some(snapId)
+      }
+
       // 4. CURRENT LAST (atomic pointer swing — the commit point).
       val tmpC = Paths.get(dir, "CURRENT.tmp")
       Files.writeString(tmpC, snapId.toString)
@@ -298,6 +313,71 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
         throw e
     }
     Some(snapId)
+  }
+
+  // --------------------------------------------- write-audit-publish (WAP)
+
+  private def stagedMarker(snapshotId: Long): Path =
+    manifestsDir.resolve(s"snap-$snapshotId.staged")
+
+  /** Snapshot ids currently staged (committed-but-unpublished WAP
+    * audits): non-empty manifest + marker, id beyond CURRENT. */
+  def stagedIds: Seq[Long] =
+    snapshotIds.filter(id => id > currentSnapshotId.getOrElse(-1L) &&
+      Files.exists(stagedMarker(id)))
+
+  /** Publish a staged snapshot: the deferred CURRENT swing of a
+    * `commitEntries(…, publish = false)`. The staged manifest's parent
+    * must still be the live snapshot — guaranteed in practice because the
+    * staged claim blocks every other committer, but checked anyway. */
+  def publishStaged(snapshotId: Long): Unit = {
+    val m = manifestsDir.resolve(s"snap-$snapshotId.json")
+    require(Files.exists(m) && Files.size(m) > 0,
+      s"staged snapshot $snapshotId does not exist in $dir")
+    require(Files.exists(stagedMarker(snapshotId)),
+      s"snapshot $snapshotId is not staged (already published, or a foreign claim)")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parent = Files.readAllLines(m).asScala.iterator.filter(_.nonEmpty)
+      .map(mapper.readTree).collectFirst {
+        case n if n.has("parentId") => n.get("parentId").asLong()
+      }.getOrElse(-1L)
+    val cur = currentSnapshotId.getOrElse(-1L)
+    require(parent == cur,
+      s"staged snapshot $snapshotId has parent $parent but CURRENT is $cur — " +
+        "the chain moved; discard and re-stage")
+    val tmpC = Paths.get(dir, "CURRENT.tmp")
+    Files.writeString(tmpC, snapshotId.toString)
+    Files.move(tmpC, currentFile,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Files.deleteIfExists(stagedMarker(snapshotId))
+    ()
+  }
+
+  /** Abandon a staged snapshot after a failed audit: delete its manifest
+    * (freeing the claimed id for the next committer) and any data
+    * file-sets only it referenced. Manifest-first ordering, same as
+    * [[expireSnapshots]]. @return the deleted data paths. */
+  def discardStaged(spark: SparkSession, snapshotId: Long): Seq[String] = {
+    val m = manifestsDir.resolve(s"snap-$snapshotId.json")
+    require(Files.exists(stagedMarker(snapshotId)),
+      s"snapshot $snapshotId is not staged — refusing to discard published history")
+    require(currentSnapshotId.forall(_ < snapshotId),
+      s"snapshot $snapshotId is not beyond CURRENT")
+    val mine = entriesAt(spark, snapshotId).map(_.path).toSet
+    val keptPaths = snapshotIds.filterNot(_ == snapshotId)
+      .flatMap(entriesAt(spark, _)).map(_.path).toSet
+    Files.deleteIfExists(m)
+    Files.deleteIfExists(stagedMarker(snapshotId))
+    val dead = (mine -- keptPaths).toSeq.sorted
+    dead.foreach { p =>
+      val path = Paths.get(p)
+      if (Files.exists(path)) {
+        val w = Files.walk(path)
+        try w.iterator.asScala.toSeq.reverseIterator.foreach(Files.deleteIfExists(_))
+        finally w.close()
+      }
+    }
+    dead
   }
 
   /** Read the live snapshot (only manifest-listed paths — orphan data from
@@ -514,8 +594,10 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
   def expireSnapshots(spark: SparkSession, keepLast: Int): Seq[String] = {
     require(keepLast >= 1, "must keep at least the live snapshot")
     val ids = snapshotIds
-    // tagged snapshots are pinned (the [[tag]] retention contract)
-    val keep = ids.takeRight(keepLast).toSet ++ currentSnapshotId ++ tags.values
+    // tagged snapshots are pinned (the [[tag]] retention contract);
+    // staged WAP snapshots are live audits (always newest, but explicit)
+    val keep = ids.takeRight(keepLast).toSet ++ currentSnapshotId ++
+      tags.values ++ stagedIds
     val expired = ids.filterNot(keep)
     if (expired.isEmpty) return Seq.empty
     val keptPaths = keep.toSeq.flatMap(entriesAt(spark, _)).map(_.path).toSet
@@ -620,9 +702,17 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
           // committer's publish/delete between our listing and the stat)
           // — same posture as snapshotIds
           try {
-            if (Files.getLastModifiedTime(p).toMillis < horizon &&
-                Files.deleteIfExists(p)) Some(p.toString)
-            else None
+            // a STAGED snapshot (non-empty manifest + marker) is a live
+            // write-audit-publish audit, not a crashed commit — never
+            // reclaimed, however old; publishStaged/discardStaged are its
+            // only exits. A zero-length claim is reclaimable even when
+            // marked (the stager died before its manifest landed).
+            val staged = Files.exists(stagedMarker(id.toLong)) && Files.size(p) > 0
+            if (!staged && Files.getLastModifiedTime(p).toMillis < horizon &&
+                Files.deleteIfExists(p)) {
+              Files.deleteIfExists(stagedMarker(id.toLong))
+              Some(p.toString)
+            } else None
           } catch { case _: java.nio.file.NoSuchFileException => None }
         case _ => None
       }
