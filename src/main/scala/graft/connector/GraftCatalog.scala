@@ -30,7 +30,7 @@ import scala.jdk.CollectionConverters._
   * at 100 TB the join cost becomes per-bucket merge IO instead of a
   * full-table shuffle. (Enable `spark.sql.sources.v2.bucketing.enabled`.)
   */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -140,6 +140,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
     else throw new NoSuchFunctionException(ident)
+
+  // ---- ProcedureCatalog: SQL maintenance (CALL graft.system.…) ----
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(warehouse, ident).getOrElse(
+      throw new RuntimeException(s"no such procedure: ${ident.namespace().mkString(".")}.${ident.name()}"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 }
 
 /** `bucket(numBuckets, conv_id)` — the table's physical layout as a V2

@@ -209,38 +209,115 @@ final class SnapshotV2Table(dir: String, snapshotId: Long,
   // some write plans (OverwriteByExpression), and backticks break it
   override def name(): String = dir
 
-  /** SQL `DELETE FROM graft.t WHERE conv_id = … / conv_id IN (…)` — the
-    * row-level maintenance face, accepted exactly when the predicate pins
-    * whole conversations (the table key): it maps to the library's
-    * bucket-targeted [[SnapshotTable.deleteConversations]], which rewrites
-    * ONLY the owning buckets crash-safely. Any other predicate is
-    * declined (Spark reports it unsupported) rather than approximated. */
+  /** SQL `DELETE FROM graft.t WHERE …` metadata paths, accepted exactly
+    * when the predicate can be satisfied without touching data:
+    *
+    *  - '''conv_id equality/IN''' (the table key): maps to the library's
+    *    bucket-targeted [[SnapshotTable.deleteConversations]], which
+    *    rewrites ONLY the owning buckets crash-safely.
+    *  - '''ts range''' (retention age-off, `DELETE … WHERE ts < cutoff`):
+    *    accepted iff the manifest's per-file-set ts stats PROVE every
+    *    live file-set either fully inside the range (dropped from the
+    *    manifest — zero data IO, the Iceberg metadata-delete analog; at
+    *    100 TB aging off a month of data must be a manifest edit, not a
+    *    rewrite) or fully outside (kept untouched). The proof is
+    *    conservative under the manifest's second-granular ts flooring,
+    *    and an entry whose minTs folded to the epoch (a possible null-ts
+    *    row, which SQL semantics KEEP under `ts < x`) always declines.
+    *
+    * Anything unprovable is declined — Spark then runs the same DELETE as
+    * a copy-on-write group rewrite ([[SnapshotRowLevelOperation]]), so
+    * declining costs correctness nothing, only IO. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.nonEmpty && filters.forall {
-      case EqualTo(a, _: String) if a.equalsIgnoreCase("conv_id")       => true
-      case EqualNullSafe(a, _: String) if a.equalsIgnoreCase("conv_id") => true
+    convDeleteSets(filters).isDefined || tsDeleteCoverage(filters).isDefined
+
+  private def convDeleteSets(filters: Array[Filter]): Option[Seq[Set[String]]] = {
+    val sets = filters.toSeq.map {
+      case EqualTo(a, v: String) if a.equalsIgnoreCase("conv_id")       => Some(Set(v))
+      case EqualNullSafe(a, v: String) if a.equalsIgnoreCase("conv_id") => Some(Set(v))
       case In(a, vs) if a.equalsIgnoreCase("conv_id") &&
-        vs.nonEmpty && vs.forall(_.isInstanceOf[String])                => true
-      case _                                                            => false
+        vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        Some(vs.map(_.asInstanceOf[String]).toSet)
+      case _                                                            => None
     }
+    if (filters.nonEmpty && sets.forall(_.isDefined)) Some(sets.flatten) else None
+  }
+
+  /** The delete range as conservative [lo, hi] ms bounds, and the live
+    * entries it fully covers — `None` when any conjunct is not a ts
+    * comparison, or any live file-set straddles the range boundary. */
+  private def tsDeleteCoverage(filters: Array[Filter]): Option[Seq[ManifestEntry]] = {
+    def ms(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp => Some(t.getTime)
+      case i: java.time.Instant  => Some(i.toEpochMilli)
+      case _                     => None
+    }
+    // conservative range: lo is the largest lower bound we must EXCEED
+    // (strictly, so GreaterThanOrEqual maps to lo = X - 1ms… avoided by
+    // tracking bounds as "delete iff minTs >= loMin and maxTs <= hiMax"
+    // with the manifest's widened stats — see entry tests below)
+    var loMin = Long.MinValue // fully-in requires entry.minTsMs >= loMin
+    var loOut = Long.MinValue // fully-out-below requires entry.maxTsMs <= loOut
+    var hiMax = Long.MaxValue // fully-in requires entry.maxTsMs <= hiMax
+    var hiOut = Long.MaxValue // fully-out-above requires entry.minTsMs >= hiOut… strictly >
+    var bounded = false
+    var ok = filters.nonEmpty
+    filters.foreach {
+      case LessThan(a, v) if a.equalsIgnoreCase("ts") =>
+        ms(v) match { case Some(m) => bounded = true; hiMax = math.min(hiMax, m); hiOut = math.min(hiOut, m); case None => ok = false }
+      case LessThanOrEqual(a, v) if a.equalsIgnoreCase("ts") =>
+        // inclusive upper: widened maxTs (floor+1s) <= X still proves
+        // trueMax < X <= X, so the same conservative test applies
+        ms(v) match { case Some(m) => bounded = true; hiMax = math.min(hiMax, m); hiOut = math.min(hiOut, m); case None => ok = false }
+      case GreaterThan(a, v) if a.equalsIgnoreCase("ts") =>
+        // exclusive lower: recorded minTs (floor <= trueMin) must be > X
+        ms(v) match { case Some(m) => bounded = true; loMin = math.max(loMin, m + 1); loOut = math.max(loOut, m); case None => ok = false }
+      case GreaterThanOrEqual(a, v) if a.equalsIgnoreCase("ts") =>
+        ms(v) match { case Some(m) => bounded = true; loMin = math.max(loMin, m); loOut = math.max(loOut, m); case None => ok = false }
+      case IsNotNull(a) if a.equalsIgnoreCase("ts") => () // no-op conjunct
+      case _ => ok = false
+    }
+    if (!ok || !bounded) return None
+    val curOpt = new SnapshotTable(dir, numBuckets).currentSnapshotId
+    if (curOpt.isEmpty) return None
+    val live = SnapshotManifest.read(dir, curOpt.get)
+    // entry stats: minTsMs = floor(trueMin) <= trueMin;
+    //             maxTsMs = floor(trueMax)+1s > trueMax (widened by read)
+    def fullyIn(e: ManifestEntry): Boolean =
+      e.minTsMs > 0 && e.minTsMs >= loMin && e.maxTsMs <= hiMax
+    def fullyOut(e: ManifestEntry): Boolean =
+      e.maxTsMs <= loOut || e.minTsMs > hiOut
+    if (live.forall(e => fullyIn(e) || fullyOut(e)))
+      Some(live.filter(fullyIn))
+    else None
+  }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    val sets = filters.map {
-      case EqualTo(_, v: String)       => Set(v)
-      case EqualNullSafe(_, v: String) => Set(v)
-      case In(_, vs)                   => vs.map(_.asInstanceOf[String]).toSet
-    }
-    val convs = sets.reduce(_ intersect _).toSeq.sorted
-    if (convs.isEmpty) return
     val spark = SparkSession.active
     val table = new SnapshotTable(dir, numBuckets)
-    // deleting conversations that don't exist is a no-op, not an error
-    val committed = table.committedBuckets(spark)
-    val present = convs.filter(c => committed(table.bucketOfId(c)))
-    if (present.isEmpty) return
-    val runId = s"delete-$snapshotId-${math.abs(present.mkString(",").hashCode)}"
-    table.deleteConversations(spark, present, runId)
-    ()
+    convDeleteSets(filters) match {
+      case Some(sets) =>
+        val convs = sets.reduce(_ intersect _).toSeq.sorted
+        if (convs.isEmpty) return
+        // deleting conversations that don't exist is a no-op, not an error
+        val committed = table.committedBuckets(spark)
+        val present = convs.filter(c => committed(table.bucketOfId(c)))
+        if (present.isEmpty) return
+        val runId = s"delete-$snapshotId-${math.abs(present.mkString(",").hashCode)}"
+        table.deleteConversations(spark, present, runId)
+        ()
+      case None =>
+        // ts-retention metadata path (canDeleteWhere proved coverage; the
+        // manifest may have moved since — a coverage recheck keeps the
+        // proof and the commit on the same snapshot)
+        val covered = tsDeleteCoverage(filters).getOrElse(throw new IllegalStateException(
+          "graft-snapshot: ts-range delete coverage no longer provable — " +
+            "the manifest changed between planning and execution; retry"))
+        if (covered.isEmpty) return // nothing in range: no-op
+        table.commitEntries(spark, Seq.empty, replaceBuckets = false,
+          dropPaths = covered.map(_.path).toSet)
+        ()
+    }
   }
 
   override def schema(): StructType =

@@ -204,14 +204,16 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
   def commitEntries(spark: SparkSession, newEntries: Seq[BucketEntry],
       replaceBuckets: Boolean, forceReplace: Set[Int] = Set.empty,
       replaceExactly: Option[Set[Int]] = None,
-      publish: Boolean = true): Option[Long] = {
+      publish: Boolean = true,
+      dropPaths: Set[String] = Set.empty): Option[Long] = {
     val schemaDdl = newEntries.headOption.map(_.schema).getOrElse("")
-    if (newEntries.isEmpty && forceReplace.isEmpty && replaceExactly.forall(_.isEmpty))
+    if (newEntries.isEmpty && forceReplace.isEmpty &&
+        replaceExactly.forall(_.isEmpty) && dropPaths.isEmpty)
       return None
 
     // 3. MANIFEST SECOND: full committed set = parent's ∪ new.
     val parent = currentSnapshotId.getOrElse(-1L)
-    val prev = replaceExactly match {
+    val prevAll = replaceExactly match {
       // copy-on-write rule: drop EXACTLY the scanned groups; new entries
       // append (a new entry for an unscanned bucket rides alongside that
       // bucket's existing file-sets, like a streaming append)
@@ -222,6 +224,11 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
             forceReplace(e.bucket) || newEntries.exists(_.bucket == e.bucket))
         else committedEntries(spark)
     }
+    // metadata-only deletes: file-sets proven fully covered by the delete
+    // predicate drop from the manifest with ZERO data IO (their files stay
+    // for time travel until expireSnapshots) — the Iceberg metadata-delete
+    // analog for retention age-off
+    val prev = prevAll.filterNot(e => dropPaths(e.path))
     // delete-only commits (no new entries ⇒ schemaDdl empty) change no
     // schema and skip the guard
     prev.find(e => schemaDdl.nonEmpty && e.schema.nonEmpty && e.schema != schemaDdl).foreach { e =>

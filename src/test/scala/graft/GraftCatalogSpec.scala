@@ -191,6 +191,50 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
       .collect().head.getString(0).startsWith("fresh"))
   }
 
+  test("ts-retention DELETE: clean range coverage is a manifest edit (zero data IO); straddling falls back to COW") {
+    import testImplicits._
+    val s = catalogSession(spj = false)
+    val dir = s"$warehouse/t_ret"
+    def mkTs(conv: String, offMs: Long): ExtractedTurn = {
+      val text = s"r $conv"
+      ExtractedTurn(conv, 0, "user", "html", new Timestamp(base + offMs),
+        text, Seq(Span(0, 0, text.length, "p", text)), 1, 0, text.length, 1.0)
+    }
+    // two append runs with disjoint ts ranges: old [0s, 5s], new [100s, 105s]
+    (0 until 6).map(i => mkTs(s"old$i", i * 1000L)).toDS().toDF()
+      .write.format("graft-snapshot").mode("append")
+      .option("numBuckets", "4").option("runId", "wA").save(dir)
+    (0 until 6).map(i => mkTs(s"new$i", 100000L + i * 1000L)).toDS().toDF()
+      .write.format("graft-snapshot").mode("append")
+      .option("runId", "wB").save(dir)
+
+    val table = graft.table.SnapshotTable.open(dir)
+    val before = table.committedEntries(spark)
+    val oldPaths = before.filter(_.runId == "wA").map(_.path)
+    assert(oldPaths.nonEmpty)
+
+    // cutoff cleanly between the two runs → metadata-only delete: run-A
+    // entries drop from the manifest, nothing is read or written
+    s.sql(s"DELETE FROM graft.t_ret WHERE ts < TIMESTAMP'2026-01-01 00:00:50'")
+    assert(s.table("graft.t_ret").count() == 6L)
+    val after = table.committedEntries(spark)
+    assert(after.map(_.runId).toSet == Set("wB"))
+    assert(after.map(_.path).toSet == before.filter(_.runId == "wB").map(_.path).toSet)
+    assert(after.forall(e => !e.runId.startsWith("cow-")), "must not rewrite data")
+    // dropped file-sets remain on disk for time travel until expireSnapshots
+    oldPaths.foreach(p => assert(Files.exists(java.nio.file.Paths.get(p))))
+    assert(s.sql("SELECT count(*) FROM graft.t_ret VERSION AS OF 1")
+      .collect().head.getLong(0) == 12L)
+
+    // a cutoff INSIDE run B's range is unprovable from file-set stats →
+    // copy-on-write rewrite; rows still come out exactly right
+    s.sql(s"DELETE FROM graft.t_ret WHERE ts < TIMESTAMP'2026-01-01 00:01:41.500'")
+    assert(s.table("graft.t_ret").count() == 4L)
+    assert(s.sql("SELECT min(conv_id) FROM graft.t_ret").collect().head.getString(0) == "new2")
+    assert(table.committedEntries(spark).exists(_.runId.startsWith("cow-delete-")),
+      "straddling range must take the copy-on-write path")
+  }
+
   test("INSERT OVERWRITE / mode(overwrite): snapshot becomes exactly the new data, history time-travels") {
     import testImplicits._
     val s = catalogSession(spj = false)
@@ -208,6 +252,54 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     // the pre-overwrite snapshot remains time-travel-able
     assert(s.sql("SELECT count(*) FROM graft.t_ovw VERSION AS OF 0")
       .collect().head.getLong(0) == 10L)
+  }
+
+  test("CALL graft.system.*: SQL maintenance procedures (compact, expire, tag, restore, WAP)") {
+    import testImplicits._
+    val s = catalogSession(spj = false)
+    val dir = s"$warehouse/t_proc"
+    (0 until 6).map(i => mk(s"p$i", 0, "one")).toDS().toDF()
+      .write.format("graft-snapshot").mode("append")
+      .option("numBuckets", "4").option("runId", "w1").save(dir)
+    (6 until 9).map(i => mk(s"p$i", 0, "two")).toDS().toDF()
+      .write.format("graft-snapshot").mode("append").option("runId", "w2").save(dir)
+    val table = graft.table.SnapshotTable.open(dir)
+
+    // SHOW PROCEDURES lists the maintenance surface
+    assert(s.sql("SHOW PROCEDURES IN graft.system").collect()
+      .map(_.mkString(",")).exists(_.contains("compact")))
+
+    // compact folds the two runs; result set carries the new snapshot id
+    val cid = s.sql("CALL graft.system.compact('t_proc', 'c1')")
+      .collect().head.getLong(0)
+    assert(cid == 2L)
+    assert(s.table("graft.t_proc").count() == 9L)
+
+    // tag the compacted release, then expire everything older
+    assert(s.sql("CALL graft.system.tag('t_proc', 'rel', 2)")
+      .collect().head.getLong(0) == 2L)
+    val expired = s.sql("CALL graft.system.expire_snapshots('t_proc', 1)").collect()
+    assert(expired.nonEmpty) // pre-compact file-sets reclaimed, paths reported
+    assert(table.tags("rel") == 2L)
+
+    // restore = rollback as a NEW snapshot (id chain intact)
+    (9 until 11).map(i => mk(s"p$i", 0, "three")).toDS().toDF()
+      .write.format("graft-snapshot").mode("append").option("runId", "w3").save(dir)
+    assert(s.table("graft.t_proc").count() == 11L)
+    val rid = s.sql("CALL graft.system.restore('t_proc', 2)").collect().head.getLong(0)
+    assert(rid == 4L)
+    assert(s.table("graft.t_proc").count() == 9L)
+    assert(s.sql("SELECT count(*) FROM graft.t_proc VERSION AS OF 3")
+      .collect().head.getLong(0) == 11L) // the abandoned line stays travelable
+
+    // WAP through SQL: stage a write, audit, publish via CALL
+    Seq(mk("p_wap", 0, "staged")).toDS().toDF()
+      .write.format("graft-snapshot").mode("append")
+      .option("runId", "wapped").option("wap", "true").save(dir)
+    assert(s.table("graft.t_proc").count() == 9L) // not visible yet
+    assert(s.sql("CALL graft.system.publish_staged('t_proc', 5)")
+      .collect().head.getLong(0) == 5L)
+    assert(s.table("graft.t_proc").count() == 10L)
   }
 
   test("grouped scan mode keeps per-bucket partition keys consistent with the data") {
