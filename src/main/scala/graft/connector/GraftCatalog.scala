@@ -89,7 +89,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     new SnapshotV2Table(dir, snapId, entries, nb, metaSchema)
   }
 
-  override def loadTable(ident: Identifier): Table = load(ident, None)
+  override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata tables: graft.`t$snapshots` / `t$files` / `t$tags`
+    val n = ident.name()
+    val dollar = n.lastIndexOf('$')
+    if (dollar > 0 && SnapshotMetaTables.Kinds(n.substring(dollar + 1))) {
+      val base = Identifier.of(ident.namespace(), n.substring(0, dollar))
+      if (tableExists(base))
+        return SnapshotMetaTables.load(dirOf(base), n.substring(dollar + 1))
+    }
+    load(ident, None)
+  }
 
   /** SQL time travel: `SELECT … FROM graft.t VERSION AS OF <snapshotId>`. */
   override def loadTable(ident: Identifier, version: String): Table =

@@ -300,6 +300,20 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(s.sql("CALL graft.system.publish_staged('t_proc', 5)")
       .collect().head.getLong(0) == 5L)
     assert(s.table("graft.t_proc").count() == 10L)
+
+    // metadata tables: commit chain / live file-sets / tags, pure SQL,
+    // driver-side manifest reads only (ids 0-1 were expired above)
+    val snaps = s.sql("SELECT snapshot_id, is_current, is_staged FROM " +
+      "graft.`t_proc$snapshots` ORDER BY snapshot_id").collect()
+    assert(snaps.map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L, 5L))
+    assert(snaps.filter(_.getBoolean(1)).map(_.getLong(0)).toSeq == Seq(5L))
+    assert(snaps.forall(!_.getBoolean(2)))
+    assert(s.sql("SELECT count(*) FROM graft.`t_proc$files`")
+      .collect().head.getLong(0) > 0L)
+    assert(s.sql("SELECT sum(turns) FROM graft.`t_proc$files`")
+      .collect().head.getLong(0) == 10L)
+    assert(s.sql("SELECT name, snapshot_id FROM graft.`t_proc$tags`").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("rel", 2L)))
   }
 
   test("grouped scan mode keeps per-bucket partition keys consistent with the data") {
