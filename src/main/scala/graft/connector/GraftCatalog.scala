@@ -86,7 +86,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     val nb = entries.headOption.map(_.numBuckets)
       .orElse(SnapshotManifest.numBucketsAt(dir, snapId)) // tombstone-only
       .orElse(meta.map(_._2)).getOrElse(16)
-    new SnapshotV2Table(dir, snapId, entries, nb, metaSchema)
+    new SnapshotV2Table(dir, snapId, entries, nb, metaSchema,
+      preferExternalSuperset = snapshotId.isEmpty)
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -118,10 +119,38 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     new SnapshotV2Table(dir, -1L, Seq.empty, nb, Some(schema))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on graft-snapshot: schema is tracked per commit; " +
-        "migrate by compacting after a rewrite")
+  /** ADDITIVE schema evolution only: `ALTER TABLE … ADD COLUMNS (c T, …)`
+    * appends nullable columns. The evolved schema lands in TABLE_META;
+    * existing file-sets stay byte-untouched and read back null-filled
+    * under the widest schema ([[SnapshotV2Table.schema]]); new commits may
+    * write either shape (the commit guard accepts exact field-prefix
+    * relations and nothing else). Renames / drops / type changes are
+    * rejected — at 100 TB those are a rewrite, and pretending otherwise
+    * corrupts readers. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val fields = scala.collection.mutable.ArrayBuffer.from(loadTable(ident).schema().fields)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graft-snapshot evolution: nested column adds are unsupported")
+        require(add.position() == null,
+          "graft-snapshot evolution: columns append at the end (no FIRST/AFTER)")
+        require(add.isNullable,
+          "graft-snapshot evolution: added columns must be nullable (old files have no values)")
+        val n = add.fieldNames()(0)
+        require(!fields.exists(_.name.equalsIgnoreCase(n)), s"column $n already exists")
+        fields += org.apache.spark.sql.types.StructField(n, add.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft-snapshot supports only additive evolution (ADD COLUMNS); got $other. " +
+          "Migrate by compacting after a rewrite.")
+    }
+    val nb = SnapshotTableMeta.read(dir).map(_._2)
+      .getOrElse(graft.table.SnapshotTable.open(dir).numBuckets)
+    SnapshotTableMeta.write(dir, StructType(fields.toSeq).catalogString, nb)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = Paths.get(dirOf(ident))

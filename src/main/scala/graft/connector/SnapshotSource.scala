@@ -83,7 +83,8 @@ final class SnapshotSource extends TableProvider with DataSourceRegister {
           .orElse(meta.map(_._2))
           .getOrElse(Option(options.get("numBuckets")).map(_.trim.toInt).getOrElse(16))
         new SnapshotV2Table(dir, snapId, entries, nb,
-          externalSchema.orElse(meta.map(m => DataType.fromDDL(m._1).asInstanceOf[StructType])))
+          externalSchema.orElse(meta.map(m => DataType.fromDDL(m._1).asInstanceOf[StructType])),
+          preferExternalSuperset = Option(options.get("snapshotId")).isEmpty)
       case None =>
         // no committed snapshot: a brand-new table (first commit creates
         // snapshot 0). Bucket count from CREATE TABLE metadata or the
@@ -190,7 +191,8 @@ object SnapshotManifest {
 
 final class SnapshotV2Table(dir: String, snapshotId: Long,
     entries: Seq[ManifestEntry], numBuckets: Int,
-    externalSchema: Option[StructType] = None)
+    externalSchema: Option[StructType] = None,
+    preferExternalSuperset: Boolean = false)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -320,11 +322,24 @@ final class SnapshotV2Table(dir: String, snapshotId: Long,
     }
   }
 
-  override def schema(): StructType =
-    entries.find(_.schema.nonEmpty).map(e =>
-        DataType.fromDDL(e.schema).asInstanceOf[StructType])
-      .orElse(externalSchema)
+  override def schema(): StructType = {
+    // additive evolution: a snapshot can mix old and appended-column
+    // file-sets — resolve the WIDEST (old files read null-filled)
+    val fromEntries = SnapshotTable.widestSchema(entries.map(_.schema))
+      .orElse(entries.find(_.schema.nonEmpty).map(_.schema)) // legacy mix
+      .map(d => DataType.fromDDL(d).asInstanceOf[StructType])
+    val resolved = fromEntries.orElse(externalSchema)
       .getOrElse(org.apache.spark.sql.Encoders.product[graft.model.ExtractedTurn].schema)
+    // a LIVE table whose CREATE/ALTER metadata extends the data's schema
+    // (ALTER TABLE ADD COLUMNS before the first evolved write) surfaces
+    // the evolved shape; time-travel loads keep their snapshot's schema
+    externalSchema match {
+      case Some(ext) if preferExternalSuperset && fromEntries.isDefined &&
+          ext.length > resolved.length &&
+          SnapshotTable.prefixCompatible(resolved.catalogString, ext.catalogString) => ext
+      case _ => resolved
+    }
+  }
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,

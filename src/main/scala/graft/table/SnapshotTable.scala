@@ -230,14 +230,21 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     // analog for retention age-off
     val prev = prevAll.filterNot(e => dropPaths(e.path))
     // delete-only commits (no new entries ⇒ schemaDdl empty) change no
-    // schema and skip the guard
-    prev.find(e => schemaDdl.nonEmpty && e.schema.nonEmpty && e.schema != schemaDdl).foreach { e =>
+    // schema and skip the guard. ADDITIVE EVOLUTION is allowed: two
+    // schemas may coexist iff one is an exact name+type field-prefix of
+    // the other (`ALTER TABLE ADD COLUMNS` appends nullable columns;
+    // readers resolve the widest and null-fill old files). Anything else
+    // — renames, type changes, reorders — is still rejected.
+    prev.find(e => schemaDdl.nonEmpty && e.schema.nonEmpty &&
+        e.schema != schemaDdl &&
+        !SnapshotTable.prefixCompatible(e.schema, schemaDdl)).foreach { e =>
       throw new IllegalStateException(
         s"schema change detected: table $dir bucket ${e.bucket} (run ${e.runId}) " +
           s"was committed with schema [${e.schema}] but run " +
           s"${newEntries.headOption.map(_.runId).getOrElse("?")} writes " +
-          s"[$schemaDdl]. Rewrite the table (compact after migrating) instead " +
-          "of mixing schemas in one snapshot.")
+          s"[$schemaDdl]. Only additive evolution (appending nullable " +
+          "columns) is supported; rewrite the table (compact after " +
+          "migrating) for anything else.")
     }
     val snapId = parent + 1
     Files.createDirectories(manifestsDir)
@@ -392,6 +399,20 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
   def read(spark: SparkSession): DataFrame = {
     val entries = committedEntries(spark)
     require(entries.nonEmpty, s"no committed snapshot in $dir")
+    val ddls = entries.map(_.schema).filter(_.nonEmpty).distinct
+    if (ddls.size > 1)
+      // additive evolution left old and new file-sets in one snapshot:
+      // read under the WIDEST schema — parquet null-fills the columns an
+      // old file doesn't carry (no mergeSchema footer sweep needed; the
+      // manifest already knows the answer)
+      SnapshotTable.widestSchema(ddls) match {
+        case Some(w) =>
+          return spark.read
+            .schema(org.apache.spark.sql.types.DataType.fromDDL(w)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+            .parquet(entries.map(_.path): _*)
+        case None => // incompatible mix (pre-guard table): infer as before
+      }
     spark.read.parquet(entries.map(_.path): _*)
   }
 
@@ -882,6 +903,40 @@ object SnapshotTable {
   private val SnapName = """snap-(\d+)\.json""".r
   private val BucketsField = """"buckets":(\d+)""".r
   private val BucketField = """"bucket":(\d+)""".r
+
+  /** Additive-evolution compatibility: true iff the shorter schema's
+    * fields are an exact name+type prefix of the longer's (nullability and
+    * metadata ignored — evolved columns are always nullable). Unparseable
+    * DDL is incompatible (conservative). Parses are memoized: the guard
+    * runs per commit over every kept entry. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[org.apache.spark.sql.types.StructType]]()
+  private[graft] def parseSchema(ddl: String): Option[org.apache.spark.sql.types.StructType] =
+    schemaCache.computeIfAbsent(ddl, d =>
+      try Some(org.apache.spark.sql.types.DataType.fromDDL(d)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      catch { case _: Exception => None })
+
+  private[graft] def prefixCompatible(a: String, b: String): Boolean =
+    (parseSchema(a), parseSchema(b)) match {
+      case (Some(sa), Some(sb)) =>
+        val (short, long) = if (sa.length <= sb.length) (sa, sb) else (sb, sa)
+        short.fields.zip(long.fields).forall { case (f, g) =>
+          f.name == g.name && f.dataType == g.dataType
+        }
+      case _ => false
+    }
+
+  /** The widest of a prefix-compatible chain of schema DDLs (what a mixed
+    * old/evolved snapshot reads as); None when empty or incompatible. */
+  private[graft] def widestSchema(ddls: Seq[String]): Option[String] = {
+    val distinct = ddls.filter(_.nonEmpty).distinct
+    if (distinct.isEmpty) return None
+    val widest = distinct.maxBy(d => parseSchema(d).map(_.length).getOrElse(-1))
+    if (parseSchema(widest).isDefined &&
+        distinct.forall(prefixCompatible(_, widest))) Some(widest)
+    else None
+  }
 
   /** Open an existing table, recovering the LIVE bucket count from the
     * current manifest — the reason the count is a manifest field and not

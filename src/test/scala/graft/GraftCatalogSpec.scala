@@ -316,6 +316,41 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("rel", 2L)))
   }
 
+  test("ALTER TABLE ADD COLUMNS: additive evolution, old files read null-filled, non-additive refused") {
+    val s = catalogSession(spj = false)
+    s.sql("CREATE TABLE graft.t_evo (conv_id STRING, ts TIMESTAMP, note STRING) " +
+      "USING `graft-snapshot` TBLPROPERTIES ('numBuckets'='4')")
+    s.sql("INSERT INTO graft.t_evo VALUES ('e1', TIMESTAMP'2026-01-01 00:00:00', 'a')")
+
+    s.sql("ALTER TABLE graft.t_evo ADD COLUMNS (score INT)")
+    assert(s.table("graft.t_evo").schema.fieldNames.toSeq ==
+      Seq("conv_id", "ts", "note", "score"))
+    // pre-evolution file-set reads null-filled, byte-untouched
+    assert(s.sql("SELECT score FROM graft.t_evo WHERE conv_id = 'e1'")
+      .collect().head.isNullAt(0))
+
+    s.sql("INSERT INTO graft.t_evo VALUES ('e2', TIMESTAMP'2026-01-01 00:00:01', 'b', 7)")
+    val rows = s.sql("SELECT conv_id, score FROM graft.t_evo ORDER BY conv_id").collect()
+    assert(rows.map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSeq ==
+      Seq(("e1", -1), ("e2", 7)))
+    // the library read path resolves the same widest schema
+    val lib = graft.table.SnapshotTable.open(s"$warehouse/t_evo").read(spark)
+    assert(lib.schema.fieldNames.toSeq == Seq("conv_id", "ts", "note", "score"))
+    assert(lib.count() == 2L)
+    // time travel keeps the snapshot's own (pre-evolution) schema
+    assert(s.sql("SELECT * FROM graft.t_evo VERSION AS OF 0").schema.fieldNames.toSeq ==
+      Seq("conv_id", "ts", "note"))
+
+    // non-additive changes are refused, not approximated
+    intercept[Exception] { s.sql("ALTER TABLE graft.t_evo DROP COLUMN note") }
+    intercept[Exception] { s.sql("ALTER TABLE graft.t_evo RENAME COLUMN note TO memo") }
+    // an INSERT OVERWRITE under the widest schema folds the mix back to one shape
+    s.sql("INSERT OVERWRITE graft.t_evo SELECT * FROM graft.t_evo")
+    assert(s.table("graft.t_evo").count() == 2L)
+    assert(graft.table.SnapshotTable.open(s"$warehouse/t_evo")
+      .committedEntries(spark).map(_.schema).distinct.size == 1)
+  }
+
   test("grouped scan mode keeps per-bucket partition keys consistent with the data") {
     val s = catalogSession(spj = true)
     // groupBy conv_id ON TOP of the keyed scan: Spark may also use the
