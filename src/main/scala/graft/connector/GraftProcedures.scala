@@ -56,7 +56,26 @@ object GraftProcedures {
         in => pathRows(t(in).removeOrphanManifests(in.getLong(1))))
       case "compact" => GraftProcedure("compact",
         Seq("table" -> StringType, "run_id" -> StringType), SnapRow,
-        in => snapRow(t(in).compact(spark, in.getUTF8String(1).toString)))
+        in => {
+          val table = t(in)
+          val rid = in.getUTF8String(1).toString
+          val turnsSchema =
+            org.apache.spark.sql.Encoders.product[graft.model.ExtractedTurn].schema
+          val df = table.read(spark)
+          val id =
+            if (df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+                turnsSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+              table.compact(spark, rid) // typed path keeps the library stats pass
+            else {
+              // generic tables (including evolved schemas): fold every
+              // file-set through the V2 overwrite — same clustering + sort
+              // invariants via RequiresDistributionAndOrdering
+              df.write.format("graft-snapshot").mode("overwrite")
+                .option("runId", rid).save(table.dir)
+              table.currentSnapshotId.getOrElse(sys.error("compact published no snapshot"))
+            }
+          snapRow(id)
+        })
       case "publish_staged" => GraftProcedure("publish_staged",
         Seq("table" -> StringType, "snapshot_id" -> LongType), SnapRow,
         in => { val id = in.getLong(1); t(in).publishStaged(id); snapRow(id) })

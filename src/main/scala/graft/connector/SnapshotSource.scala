@@ -75,15 +75,49 @@ final class SnapshotSource extends TableProvider with DataSourceRegister {
     val meta = SnapshotTableMeta.read(dir)
     snapOpt match {
       case Some(snapId) =>
-        val entries = SnapshotManifest.read(dir, snapId)
+        val full = SnapshotManifest.read(dir, snapId)
+        // INCREMENTAL BATCH READ (the Iceberg incremental-append-scan as a
+        // batch option): `.option("changesFrom", N)` scopes the table to
+        // the file-set delta (N, snapId] — a daily downstream job reads
+        // only what landed since the snapshot it last processed, costing
+        // two manifest reads and zero listing of processed history.
+        // `.option("snapshotId", M)` doubles as the inclusive upper end;
+        // `allowReplaced=true` opts into at-least-once redelivery of
+        // rewritten buckets, mirroring readChanges/the streaming face.
+        val changesFrom = Option(options.get("changesFrom")).map(_.trim.toLong)
+        val entries = changesFrom match {
+          case Some(from) =>
+            val fromPaths =
+              if (from < 0) Set.empty[String]
+              else SnapshotManifest.read(dir, from).map(_.path).toSet
+            val toPaths = full.map(_.path).toSet
+            val rewritten = fromPaths.filterNot(toPaths)
+            if (rewritten.nonEmpty &&
+                !Option(options.get("allowReplaced")).exists(_.trim.toBoolean))
+              throw new IllegalStateException(
+                s"snapshots $from → $snapId are not append-only: " +
+                  s"${rewritten.size} file-set(s) were rewritten in between. " +
+                  "Set .option(\"allowReplaced\", \"true\") for at-least-once " +
+                  "redelivery of rewritten buckets.")
+            full.filterNot(e => fromPaths(e.path))
+          case None => full
+        }
         // entries can legitimately be EMPTY (a delete-only snapshot removed
         // the last conversation): still a readable, appendable table
         val nb = entries.headOption.map(_.numBuckets)
           .orElse(SnapshotManifest.numBucketsAt(dir, snapId)) // tombstone-only
           .orElse(meta.map(_._2))
           .getOrElse(Option(options.get("numBuckets")).map(_.trim.toInt).getOrElse(16))
+        // a delta read whose delta is EMPTY still needs the table's
+        // schema: fall back to the full snapshot's widest entry schema
+        val deltaSchemaFallback =
+          if (changesFrom.isDefined)
+            SnapshotTable.widestSchema(full.map(_.schema))
+              .map(d => DataType.fromDDL(d).asInstanceOf[StructType])
+          else None
         new SnapshotV2Table(dir, snapId, entries, nb,
-          externalSchema.orElse(meta.map(m => DataType.fromDDL(m._1).asInstanceOf[StructType])),
+          externalSchema.orElse(deltaSchemaFallback)
+            .orElse(meta.map(m => DataType.fromDDL(m._1).asInstanceOf[StructType])),
           preferExternalSuperset = Option(options.get("snapshotId")).isEmpty)
       case None =>
         // no committed snapshot: a brand-new table (first commit creates

@@ -344,11 +344,44 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     // non-additive changes are refused, not approximated
     intercept[Exception] { s.sql("ALTER TABLE graft.t_evo DROP COLUMN note") }
     intercept[Exception] { s.sql("ALTER TABLE graft.t_evo RENAME COLUMN note TO memo") }
-    // an INSERT OVERWRITE under the widest schema folds the mix back to one shape
-    s.sql("INSERT OVERWRITE graft.t_evo SELECT * FROM graft.t_evo")
+    // generic compact (non-ExtractedTurn schema → V2 overwrite path) folds
+    // the mixed file-sets back to one evolved shape
+    assert(s.sql("CALL graft.system.compact('t_evo', 'fold')")
+      .collect().head.getLong(0) > 0L)
     assert(s.table("graft.t_evo").count() == 2L)
     assert(graft.table.SnapshotTable.open(s"$warehouse/t_evo")
       .committedEntries(spark).map(_.schema).distinct.size == 1)
+  }
+
+  test("incremental batch read: option(changesFrom) scopes the table to the file-set delta") {
+    import testImplicits._
+    val s = catalogSession(spj = false)
+    val dir = s"$warehouse/t_inc"
+    (0 until 4).map(i => mk(s"i$i", 0, "one")).toDS().toDF()
+      .write.format("graft-snapshot").mode("append")
+      .option("numBuckets", "4").option("runId", "w1").save(dir)
+    (4 until 7).map(i => mk(s"i$i", 0, "two")).toDS().toDF()
+      .write.format("graft-snapshot").mode("append").option("runId", "w2").save(dir)
+
+    // delta (0, CURRENT]: only the second append's rows
+    val delta = spark.read.format("graft-snapshot")
+      .option("changesFrom", "0").load(dir)
+    assert(delta.count() == 3L)
+    assert(delta.select("text").collect().forall(_.getString(0).startsWith("two")))
+    // empty delta keeps the table schema
+    val none = spark.read.format("graft-snapshot")
+      .option("changesFrom", "1").load(dir)
+    assert(none.count() == 0L)
+    assert(none.schema.fieldNames.contains("conv_id"))
+    // a rewrite in between is guarded…
+    (0 until 2).map(i => mk(s"j$i", 0, "three")).toDS().toDF()
+      .write.format("graft-snapshot").mode("overwrite").option("runId", "w3").save(dir)
+    intercept[Exception] {
+      spark.read.format("graft-snapshot").option("changesFrom", "1").load(dir).count()
+    }
+    // …unless the reader opts into at-least-once redelivery
+    assert(spark.read.format("graft-snapshot").option("changesFrom", "1")
+      .option("allowReplaced", "true").load(dir).count() == 2L)
   }
 
   test("grouped scan mode keeps per-bucket partition keys consistent with the data") {
