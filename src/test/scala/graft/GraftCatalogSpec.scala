@@ -344,6 +344,15 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     // non-additive changes are refused, not approximated
     intercept[Exception] { s.sql("ALTER TABLE graft.t_evo DROP COLUMN note") }
     intercept[Exception] { s.sql("ALTER TABLE graft.t_evo RENAME COLUMN note TO memo") }
+    // COW UPDATE over the MIXED-schema table: the operation scan reads old
+    // files null-filled under the widest schema, the rewritten bucket
+    // lands in the evolved shape, and the prefix guard accepts the commit
+    s.sql("UPDATE graft.t_evo SET score = 1 WHERE conv_id = 'e1'")
+    assert(s.sql("SELECT score FROM graft.t_evo WHERE conv_id = 'e1'")
+      .collect().head.getInt(0) == 1)
+    assert(s.sql("SELECT score FROM graft.t_evo WHERE conv_id = 'e2'")
+      .collect().head.getInt(0) == 7)
+
     // generic compact (non-ExtractedTurn schema → V2 overwrite path) folds
     // the mixed file-sets back to one evolved shape
     assert(s.sql("CALL graft.system.compact('t_evo', 'fold')")
