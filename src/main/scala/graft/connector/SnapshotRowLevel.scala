@@ -46,7 +46,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * conv_id = …` rewriting one bucket crash-safely.
   */
 final class SnapshotRowLevelOperation(dir: String, entries: Seq[ManifestEntry],
-    numBuckets: Int, tableSchema: StructType, cmd: RowLevelOperation.Command)
+    numBuckets: Int, tableSchema: StructType, cmd: RowLevelOperation.Command,
+    private[connector] val baseSnapshotId: Long)
   extends RowLevelOperation {
 
   /** The scan instance Spark planned for this operation. Scan and write
@@ -233,6 +234,16 @@ final class SnapshotCowBatchWrite(op: SnapshotRowLevelOperation, dir: String,
       throw new IllegalStateException(
         "graft-snapshot COW commit without a planned operation scan — the " +
           "row-level rewrite must read through the operation's own scan")
+    // SERIALIZABLE-conflict guard (the Iceberg validate-no-conflicting-
+    // commits analog): the rewrite was computed against the snapshot this
+    // statement loaded; if anyone committed since, replacing the scanned
+    // buckets would silently clobber their changes. Fail retryably
+    // instead — nothing has been renamed or published yet.
+    val live = new SnapshotTable(dir, numBuckets).currentSnapshotId.getOrElse(-1L)
+    if (live != op.baseSnapshotId)
+      throw new SnapshotTable.CommitConflictException(
+        s"concurrent commit on $dir: the row-level operation read snapshot " +
+          s"${op.baseSnapshotId} but CURRENT is now $live — re-run the statement")
     if (SnapshotWriterUtil.runIdCommitted(dir, numBuckets, runId))
       throw new IllegalStateException(
         s"runId $runId is already committed in $dir — a row-level operation " +

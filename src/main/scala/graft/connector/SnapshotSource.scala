@@ -239,7 +239,8 @@ final class SnapshotV2Table(dir: String, snapshotId: Long,
     * whenever [[canDeleteWhere]] accepts the whole condition. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo): org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new SnapshotRowLevelOperation(dir, entries, numBuckets, schema(), info.command())
+    () => new SnapshotRowLevelOperation(dir, entries, numBuckets, schema(),
+      info.command(), baseSnapshotId = snapshotId)
 
   // plain name only: Spark's AttributeNameParser parses table names in
   // some write plans (OverwriteByExpression), and backticks break it

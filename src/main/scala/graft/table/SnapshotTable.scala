@@ -723,6 +723,16 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     if (!Files.exists(manifestsDir)) return Seq.empty
     val cur = currentSnapshotId.getOrElse(-1L)
     val horizon = System.currentTimeMillis() - olderThanMillis
+    // a WAP marker whose manifest is gone (discard crashed between the
+    // two deletes) is inert residue — sweep it
+    listDir(manifestsDir).foreach { p =>
+      p.getFileName.toString match {
+        case SnapshotTable.StagedName(id)
+          if !Files.exists(manifestsDir.resolve(s"snap-$id.json")) =>
+          Files.deleteIfExists(p); ()
+        case _ => ()
+      }
+    }
     listDir(manifestsDir).flatMap { p =>
       p.getFileName.toString match {
         case SnapshotTable.SnapName(id) if id.toLong > cur =>
@@ -901,6 +911,7 @@ object SnapshotTable {
   final class CommitConflictException(msg: String)
     extends IllegalStateException(msg)
   private val SnapName = """snap-(\d+)\.json""".r
+  private val StagedName = """snap-(\d+)\.staged""".r
   private val BucketsField = """"buckets":(\d+)""".r
   private val BucketField = """"bucket":(\d+)""".r
 
