@@ -2900,6 +2900,65 @@ object SparkEntry {
           col("n_tok"), col("cum_tok"))
     }),
 
+    "q_conv_valid" -> ((s, dir) => {
+      // CONVERSATION STRUCTURAL VALIDATION — the transcript-curation gate
+      // every SFT/agent-data pipeline runs before pair mining (malformed
+      // conversations are rejected, not trained on). Checks per
+      // conversation: (1) turn_idx is contiguous 0..n-1 (no gaps, no
+      // duplicates), (2) the first turn is a user turn, (3) no
+      // empty-text turns, (4) user/assistant roles never repeat
+      // back-to-back with tool turns transparent (the well-formed agent
+      // trace shape), (5) at least one assistant turn. Defects are
+      // INJECTED deterministically (fixture discipline of q_c4_rules /
+      // q_pii_scrub): every 23rd event's text blanked, every 37th
+      // event's turn_idx bumped by one — a duplicate AND a gap at once.
+      // Scale shape: ONE conv-keyed exchange — the row_number window and
+      // the groupBy share the conv_id hash partitioning (no second
+      // exchange), every check is either a map-side-partial'd scalar
+      // aggregate or a fold over the per-conv sorted turn array (bounded
+      // by conversation length — the same bound order restore carries);
+      // window-free beyond the shared turn-numbering pass, no
+      // distinct-aggregate Expand.
+      val role = pmod(pmod(col("event_id") * lit(2654435761L), lit(97L)), lit(3L))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("role",
+          when(role === 0, lit("user"))
+            .when(role === 1, lit("assistant")).otherwise(lit("tool")))
+        .withColumn("txt",
+          when(pmod(col("event_id"), lit(23L)) === 0, lit(""))
+            .otherwise(concat(col("event_type"), lit(" "), col("props"))))
+        .withColumn("turn_idx0", (row_number().over(w) - 1).cast("long"))
+        .withColumn("turn_idx", col("turn_idx0") +
+          when(pmod(col("event_id"), lit(37L)) === 0, 1L).otherwise(0L))
+        .groupBy(col("user_id").as("conv_id"))
+        .agg(
+          count(lit(1)).as("n_turns"),
+          min_by(col("role"), col("turn_idx0")).as("first_role"),
+          sum(when(trim(col("txt")) === "", 1L).otherwise(0L)).as("n_empty"),
+          max(when(col("role") === "assistant", 1L).otherwise(0L)).as("has_asst"),
+          sort_array(collect_list(struct(col("turn_idx0").as("i"),
+            col("turn_idx").as("tidx"),
+            when(col("role") =!= "tool", col("role")).as("r")))).as("seq"))
+        .withColumn("st", expr("array_sort(transform(seq, x -> x.tidx))"))
+        .withColumn("roles", expr(
+          "filter(transform(seq, x -> x.r), r -> r IS NOT NULL)"))
+        .select(col("conv_id"), col("n_turns"),
+          expr("forall(sequence(1, size(st)), i -> element_at(st, i) = i - 1)")
+            .as("ok_contig"),
+          (col("first_role") === "user").as("ok_first_user"),
+          (col("n_empty") === 0).as("ok_no_empty"),
+          // CASE guards the fold: sequence(2, 1) would descend and index 0
+          expr("""CASE WHEN size(roles) < 2 THEN true ELSE
+                    forall(sequence(2, size(roles)),
+                      i -> element_at(roles, i) != element_at(roles, i - 1))
+                  END""").as("ok_alternating"),
+          (col("has_asst") === 1).as("ok_has_assistant"))
+        .withColumn("valid",
+          col("ok_contig") && col("ok_first_user") && col("ok_no_empty") &&
+            col("ok_alternating") && col("ok_has_assistant"))
+    }),
+
     "q_rank_fusion" -> ((s, dir) => {
       // HYBRID-RETRIEVAL RANK FUSION — reciprocal rank fusion (Cormack,
       // Clarke & Büttcher, SIGIR 2009): rrf(d) = Σ_lists 1/(60 + rank_d),
@@ -4664,6 +4723,40 @@ object SparkEntry {
            FROM t)
          SELECT user_id AS conv_id, event_id AS turn_id, n_tok, cum_tok
          FROM c WHERE cum_tok <= 48""",
+
+    "q_conv_valid" ->
+      """WITH t AS (SELECT user_id, event_id, ts,
+             CASE ((event_id * 2654435761) % 97) % 3
+               WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+             CASE WHEN event_id % 23 = 0 THEN ''
+               ELSE event_type || ' ' || props END AS txt
+           FROM events),
+         r AS (SELECT user_id, event_id, role, txt,
+             (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - 1)::BIGINT AS turn_idx0
+           FROM t),
+         x AS (SELECT *, turn_idx0 +
+             CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END AS turn_idx FROM r),
+         ar AS (SELECT user_id,
+             list_filter(list(CASE WHEN role <> 'tool' THEN role END
+               ORDER BY turn_idx0), v -> v IS NOT NULL) AS roles
+           FROM x GROUP BY user_id),
+         g AS (SELECT user_id AS conv_id, count(*)::BIGINT AS n_turns,
+             (list_sort(list(turn_idx)) = range(0, count(*))) AS ok_contig,
+             (arg_min(role, turn_idx0) = 'user') AS ok_first_user,
+             (sum(CASE WHEN trim(txt) = '' THEN 1 ELSE 0 END) = 0) AS ok_no_empty,
+             (max(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) = 1)
+               AS ok_has_assistant
+           FROM x GROUP BY user_id),
+         a AS (SELECT user_id,
+             (len(roles) < 2 OR len(list_filter(range(2, len(roles) + 1),
+                i -> roles[i] = roles[i - 1])) = 0) AS ok_alternating
+           FROM ar)
+         SELECT g.conv_id, g.n_turns, g.ok_contig, g.ok_first_user,
+           g.ok_no_empty, a.ok_alternating, g.ok_has_assistant,
+           (g.ok_contig AND g.ok_first_user AND g.ok_no_empty
+             AND a.ok_alternating AND g.ok_has_assistant) AS valid
+         FROM g JOIN a ON g.conv_id = a.user_id""",
 
     "q_rank_fusion" ->
       s"""WITH d AS (SELECT lang, doc_id, text,

@@ -601,6 +601,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("Window"), p)
   }
 
+  test("conversation validation: turn-numbering window and the per-conv " +
+    "aggregate SHARE one conv-keyed exchange (no re-shuffle), and no " +
+    "distinct-aggregate Expand doubles the exchange bytes") {
+    val p = planOf("q_conv_valid")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
   test("rank fusion: each retriever list is the map-side-combining TopKAgg " +
     "(bounded), never a corpus-wide window; fusion join is hash-joinable") {
     val p = planOf("q_rank_fusion")
