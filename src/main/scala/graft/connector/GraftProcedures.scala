@@ -85,6 +85,21 @@ object GraftProcedures {
       case "tag" => GraftProcedure("tag",
         Seq("table" -> StringType, "name" -> StringType, "snapshot_id" -> LongType), SnapRow,
         in => { val id = in.getLong(2); t(in).tag(in.getUTF8String(1).toString, id); snapRow(id) })
+      case "create_branch" => GraftProcedure("create_branch",
+        Seq("table" -> StringType, "name" -> StringType), SnapRow,
+        in => snapRow(t(in).createBranch(in.getUTF8String(1).toString)))
+      case "fast_forward" => GraftProcedure("fast_forward",
+        Seq("table" -> StringType, "name" -> StringType), SnapRow,
+        in => snapRow(t(in).fastForward(in.getUTF8String(1).toString)))
+      case "drop_branch" => GraftProcedure("drop_branch",
+        Seq("table" -> StringType, "name" -> StringType), SnapRow,
+        in => {
+          val table = t(in)
+          val name = in.getUTF8String(1).toString
+          val head = table.branches.getOrElse(name,
+            throw new IllegalArgumentException(s"no branch '$name'"))
+          table.dropBranch(name); snapRow(head)
+        })
       case "restore" => GraftProcedure("restore",
         Seq("table" -> StringType, "snapshot_id" -> LongType), SnapRow,
         // rollback WITHOUT breaking the id chain (a raw CURRENT rewind
@@ -108,7 +123,8 @@ object GraftProcedures {
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("expire_snapshots", "remove_orphan_files", "remove_orphan_manifests",
-        "compact", "publish_staged", "discard_staged", "tag", "restore")
+        "compact", "publish_staged", "discard_staged", "tag", "restore",
+        "create_branch", "fast_forward", "drop_branch")
         .map(Identifier.of(namespace, _))
     else Array.empty
 }

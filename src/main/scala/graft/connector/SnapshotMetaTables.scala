@@ -30,7 +30,7 @@ import scala.jdk.CollectionConverters._
   */
 object SnapshotMetaTables {
 
-  val Kinds: Set[String] = Set("snapshots", "files", "tags")
+  val Kinds: Set[String] = Set("snapshots", "files", "tags", "branches")
 
   def load(dir: String, kind: String): Table = kind match {
     case "snapshots" => new SnapshotMetaTable(s"$dir#snapshots",
@@ -57,6 +57,11 @@ object SnapshotMetaTables {
         .add("name", StringType, nullable = false)
         .add("snapshot_id", LongType, nullable = false),
       () => tagRows(dir))
+    case "branches" => new SnapshotMetaTable(s"$dir#branches",
+      new StructType()
+        .add("name", StringType, nullable = false)
+        .add("head_snapshot_id", LongType, nullable = false),
+      () => branchRows(dir))
     case other => sys.error(
       s"unknown metadata table $$$other — available: ${Kinds.mkString(", ")}")
   }
@@ -93,6 +98,11 @@ object SnapshotMetaTables {
 
   private def tagRows(dir: String): Seq[InternalRow] =
     SnapshotTable.open(dir).tags.toSeq.sortBy(_._1).map { case (n, id) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(n), id))
+    }
+
+  private def branchRows(dir: String): Seq[InternalRow] =
+    SnapshotTable.open(dir).branches.toSeq.sortBy(_._1).map { case (n, id) =>
       new GenericInternalRow(Array[Any](UTF8String.fromString(n), id))
     }
 }

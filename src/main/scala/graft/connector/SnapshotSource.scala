@@ -70,7 +70,16 @@ final class SnapshotSource extends TableProvider with DataSourceRegister {
       externalSchema: Option[StructType] = None): SnapshotV2Table = {
     val dir = dirOf(options)
     val cur = Paths.get(dir, "CURRENT")
+    // `option("branch", name)` reads the branch head — sugar for time
+    // travel to the pointer's snapshot id (explicit snapshotId wins)
+    val branchOpt = Option(options.get("branch")).map(_.trim).filter(_.nonEmpty)
+      .map { name =>
+        val bf = Paths.get(dir, "branches", name)
+        if (!Files.exists(bf)) sys.error(s"no branch '$name' in $dir")
+        Files.readString(bf).trim.toLong
+      }
     val snapOpt = Option(options.get("snapshotId")).map(_.trim.toLong)
+      .orElse(branchOpt)
       .orElse(if (Files.exists(cur)) Some(Files.readString(cur).trim.toLong) else None)
     val meta = SnapshotTableMeta.read(dir)
     snapOpt match {
@@ -118,7 +127,8 @@ final class SnapshotSource extends TableProvider with DataSourceRegister {
         new SnapshotV2Table(dir, snapId, entries, nb,
           externalSchema.orElse(deltaSchemaFallback)
             .orElse(meta.map(m => DataType.fromDDL(m._1).asInstanceOf[StructType])),
-          preferExternalSuperset = Option(options.get("snapshotId")).isEmpty)
+          preferExternalSuperset =
+            Option(options.get("snapshotId")).isEmpty && branchOpt.isEmpty)
       case None =>
         // no committed snapshot: a brand-new table (first commit creates
         // snapshot 0). Bucket count from CREATE TABLE metadata or the

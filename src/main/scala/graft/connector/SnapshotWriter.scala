@@ -83,7 +83,15 @@ final class SnapshotWrite(dir: String, numBuckets: Int, info: LogicalWriteInfo,
   override def toBatch: BatchWrite = {
     val runId = Option(info.options().get("runId")).getOrElse(info.queryId())
     val wap = Option(info.options().get("wap")).exists(_.trim.toBoolean)
-    new SnapshotBatchWrite(dir, numBuckets, info.schema(), runId, truncateFirst, wap)
+    // `option("branch", name)`: the append lands on the branch head and
+    // swings only the branch pointer (create the branch first). Branch
+    // writes are APPENDS — overwrite rewrites main-line history and WAP
+    // already has its own staging lane, so both combinations are refused.
+    val toBranch = Option(info.options().get("branch")).map(_.trim).filter(_.nonEmpty)
+    require(toBranch.isEmpty || (!truncateFirst && !wap),
+      "option(\"branch\") supports append mode only (no overwrite, no wap)")
+    new SnapshotBatchWrite(dir, numBuckets, info.schema(), runId, truncateFirst,
+      wap, toBranch)
   }
 
   /** Streaming sink face: one snapshot per micro-batch, runId =
@@ -153,7 +161,8 @@ private[graft] object SnapshotWriterUtil {
       dataPath: String, runId: String, schema: StructType,
       messages: Array[WriterCommitMessage], truncateFirst: Boolean = false,
       replaceExactly: Option[Set[Int]] = None,
-      stageOnly: Boolean = false): Option[Long] = {
+      stageOnly: Boolean = false,
+      toBranch: Option[String] = None): Option[Long] = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new HPath(dataPath).getFileSystem(conf)
 
@@ -207,7 +216,7 @@ private[graft] object SnapshotWriterUtil {
         replaceExactly = replaceExactly, publish = !stageOnly)
     else
       table.commitEntries(spark, entries, replaceBuckets = false,
-        publish = !stageOnly)
+        publish = !stageOnly, toBranch = toBranch)
   }
 
   /** Failed/aborted job: nothing was published (publish is the only
@@ -235,7 +244,7 @@ private[graft] object SnapshotWriterUtil {
   * or `discardStaged`. While staged, the id blocks other committers. */
 final class SnapshotBatchWrite(dir: String, numBuckets: Int,
     schema: StructType, runId: String, truncateFirst: Boolean = false,
-    stageOnly: Boolean = false)
+    stageOnly: Boolean = false, toBranch: Option[String] = None)
   extends BatchWrite {
 
   private val dataPath = s"$dir/data/run=$runId"
@@ -255,7 +264,7 @@ final class SnapshotBatchWrite(dir: String, numBuckets: Int,
         s"runId $runId is already committed in $dir — pick a fresh runId " +
           "(batch writes are not replayable; the streaming face handles epoch replays)")
     SnapshotWriterUtil.publish(spark, dir, numBuckets, dataPath, runId, schema,
-      messages, truncateFirst, stageOnly = stageOnly)
+      messages, truncateFirst, stageOnly = stageOnly, toBranch = toBranch)
     ()
   }
 

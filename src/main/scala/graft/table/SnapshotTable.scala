@@ -137,7 +137,8 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     *         data ⇒ no new snapshot; the manifest chain is unchanged —
     *         unless `forceReplace` demands a delete-only commit). */
   def commit(spark: SparkSession, extracted: Dataset[ExtractedTurn], runId: String,
-      replaceBuckets: Boolean = true, forceReplace: Set[Int] = Set.empty): Option[Long] = {
+      replaceBuckets: Boolean = true, forceReplace: Set[Int] = Set.empty,
+      toBranch: Option[String] = None): Option[Long] = {
     import spark.implicits._
     val dataPath = s"$dir/data/run=$runId"
 
@@ -192,7 +193,8 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
         TsFmt.format(Instant.ofEpochMilli(s.minTs)),
         TsFmt.format(Instant.ofEpochMilli(s.maxTs)), schemaDdl)
     }
-    commitEntries(spark, newEntries, replaceBuckets, forceReplace)
+    commitEntries(spark, newEntries, replaceBuckets, forceReplace,
+      toBranch = toBranch)
   }
 
   /** The manifest half of the commit protocol, callable with entries
@@ -205,24 +207,41 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
       replaceBuckets: Boolean, forceReplace: Set[Int] = Set.empty,
       replaceExactly: Option[Set[Int]] = None,
       publish: Boolean = true,
-      dropPaths: Set[String] = Set.empty): Option[Long] = {
+      dropPaths: Set[String] = Set.empty,
+      toBranch: Option[String] = None): Option[Long] = {
+    require(publish || toBranch.isEmpty,
+      "write-audit-publish staging targets the main line; audit on main " +
+        "and fastForward a branch instead")
     val schemaDdl = newEntries.headOption.map(_.schema).getOrElse("")
     if (newEntries.isEmpty && forceReplace.isEmpty &&
         replaceExactly.forall(_.isEmpty) && dropPaths.isEmpty)
       return None
 
-    // 3. MANIFEST SECOND: full committed set = parent's ∪ new.
-    val parent = currentSnapshotId.getOrElse(-1L)
+    // 3. MANIFEST SECOND: full committed set = parent's ∪ new. The parent
+    // is the targeted REF's head: CURRENT for the main line, the branch
+    // pointer for a branch commit (Iceberg branch semantics — branches
+    // share one data dir and one snapshot-id space, diverge only in which
+    // manifest their pointer names).
+    val parent = toBranch match {
+      case None       => currentSnapshotId.getOrElse(-1L)
+      case Some(name) => branches.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"no branch '$name' in $dir (createBranch first)"))
+    }
+    val base: Seq[BucketEntry] =
+      if (toBranch.isEmpty) committedEntries(spark)
+      else if (parent < 0) Seq.empty
+      else entriesAt(spark, parent)
     val prevAll = replaceExactly match {
       // copy-on-write rule: drop EXACTLY the scanned groups; new entries
       // append (a new entry for an unscanned bucket rides alongside that
       // bucket's existing file-sets, like a streaming append)
-      case Some(rb) => committedEntries(spark).filterNot(e => rb(e.bucket))
+      case Some(rb) => base.filterNot(e => rb(e.bucket))
       case None =>
         if (replaceBuckets)
-          committedEntries(spark).filterNot(e =>
+          base.filterNot(e =>
             forceReplace(e.bucket) || newEntries.exists(_.bucket == e.bucket))
-        else committedEntries(spark)
+        else base
     }
     // metadata-only deletes: file-sets proven fully covered by the delete
     // predicate drop from the manifest with ZERO data IO (their files stay
@@ -246,7 +265,19 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
           "columns) is supported; rewrite the table (compact after " +
           "migrating) for anything else.")
     }
-    val snapId = parent + 1
+    // Snapshot ids are allocated from the GLOBAL max published id, not
+    // parent+1: branches and the main line share one id space, so a
+    // diverged branch must never collide with (and thus permanently
+    // block) main's next commit. STAGED (write-audit-publish) manifests
+    // are excluded from the allocation base on purpose — a staged audit
+    // keeps occupying the id the next committer computes, so every other
+    // commit still CONFLICTS until the audit is published or discarded
+    // (the WAP gate). Zero-length claims are invisible to snapshotIds,
+    // so two racing committers still compute the same id and resolve on
+    // the exclusive-create claim below.
+    val publishedUnstagedMax = snapshotIds
+      .filterNot(id => Files.exists(stagedMarker(id))).maxOption.getOrElse(-1L)
+    val snapId = math.max(parent, publishedUnstagedMax) + 1
     Files.createDirectories(manifestsDir)
     // OPTIMISTIC CONCURRENCY (the Iceberg commit-CAS analog on a plain
     // filesystem): CLAIM the snapshot id with an atomic exclusive create
@@ -315,11 +346,28 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
         return Some(snapId)
       }
 
-      // 4. CURRENT LAST (atomic pointer swing — the commit point).
-      val tmpC = Paths.get(dir, "CURRENT.tmp")
-      Files.writeString(tmpC, snapId.toString)
-      Files.move(tmpC, currentFile,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      // 4. REF LAST (atomic pointer swing — the commit point): CURRENT
+      // for the main line, the branch pointer for a branch commit. The
+      // branch swing re-checks the head it built on (CAS): a branch
+      // dropped or force-moved mid-commit must fail the commit, not
+      // silently resurrect or rewind the pointer.
+      toBranch match {
+        case None =>
+          val tmpC = Paths.get(dir, "CURRENT.tmp")
+          Files.writeString(tmpC, snapId.toString)
+          Files.move(tmpC, currentFile,
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        case Some(name) =>
+          if (!branches.get(name).contains(parent))
+            throw new SnapshotTable.CommitConflictException(
+              s"branch '$name' moved (or was dropped) while committing " +
+                s"snapshot $snapId on parent $parent — re-read and retry")
+          val tmpB = branchesDir.resolve(s"$name.tmp")
+          Files.createDirectories(branchesDir)
+          Files.writeString(tmpB, snapId.toString)
+          Files.move(tmpB, branchesDir.resolve(name),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
     } catch {
       case e: Throwable =>
         try Files.deleteIfExists(target)
@@ -623,9 +671,12 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     require(keepLast >= 1, "must keep at least the live snapshot")
     val ids = snapshotIds
     // tagged snapshots are pinned (the [[tag]] retention contract);
-    // staged WAP snapshots are live audits (always newest, but explicit)
+    // staged WAP snapshots are live audits (always newest, but explicit);
+    // branch HEADS are live refs (manifests are self-contained, so the
+    // head alone keeps a branch readable — its older commits age off
+    // with the rest of the history, per-branch retention as in Iceberg)
     val keep = ids.takeRight(keepLast).toSet ++ currentSnapshotId ++
-      tags.values ++ stagedIds
+      tags.values ++ stagedIds ++ branches.values
     val expired = ids.filterNot(keep)
     if (expired.isEmpty) return Seq.empty
     val keptPaths = keep.toSeq.flatMap(entriesAt(spark, _)).map(_.path).toSet
@@ -695,6 +746,112 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     readAt(spark, id)
   }
 
+  // ------------------------------------------------------------ branches
+
+  private def branchesDir: Path = Paths.get(dir, "branches")
+
+  /** Create a branch (Iceberg branch analog): a named MUTABLE pointer
+    * starting at `fromSnapshotId` (default: the live snapshot). Commits
+    * with `toBranch = Some(name)` build on the branch head and swing only
+    * the branch pointer — the main line (CURRENT) never sees them until
+    * [[fastForward]]. The canonical flow is the long-lived audit:
+    * reprocess a month of data on a branch over several commits, validate
+    * the branch read, then fast-forward main — WAP for multi-commit work.
+    * Branches share the main line's data dir and snapshot-id space; a
+    * branch commit's manifest is a first-class snapshot (time travel by
+    * id works), it just isn't named by CURRENT. */
+  def createBranch(name: String, fromSnapshotId: Option[Long] = None): Long = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"unsafe branch name: $name")
+    val from = fromSnapshotId.orElse(currentSnapshotId).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $dir to branch from"))
+    require(snapshotIds.contains(from),
+      s"cannot branch from unknown snapshot $from (have ${snapshotIds.mkString(",")})")
+    Files.createDirectories(branchesDir)
+    try Files.write(branchesDir.resolve(name),
+      from.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(s"branch '$name' already exists in $dir")
+    }
+    from
+  }
+
+  /** All branches: name → head snapshot id. */
+  def branches: Map[String, Long] =
+    if (!Files.exists(branchesDir)) Map.empty
+    else listDir(branchesDir)
+      .filterNot(_.getFileName.toString.endsWith(".tmp"))
+      .map(p => p.getFileName.toString -> Files.readString(p).trim.toLong)
+      .toMap
+
+  /** Drop a branch pointer. Its commits stay time-travel-able by id until
+    * [[expireSnapshots]] / [[removeOrphanManifests]] collect them (they
+    * lose their GC protection with the pointer — an abandoned experiment
+    * ages off with the rest of the history). */
+  def dropBranch(name: String): Boolean =
+    Files.deleteIfExists(branchesDir.resolve(name))
+
+  /** Read a branch's head snapshot. */
+  def readBranch(spark: SparkSession, name: String): DataFrame = {
+    val id = branches.getOrElse(name,
+      throw new IllegalArgumentException(s"no branch '$name' in $dir"))
+    readAt(spark, id)
+  }
+
+  /** Parent snapshot id of a manifest (the lineage pointer every entry
+    * line carries), without a Spark job — one line of the file. */
+  private[table] def parentOf(id: Long): Option[Long] = {
+    val f = manifestsDir.resolve(s"snap-$id.json")
+    if (!Files.exists(f)) return None
+    scala.util.Using(Files.newBufferedReader(f)) { r =>
+      Option(r.readLine()).flatMap(l =>
+        SnapshotTable.ParentField.findFirstMatchIn(l).map(_.group(1).toLong))
+    }.toOption.flatten
+  }
+
+  /** Every snapshot id reachable by parent pointers from a branch head —
+    * the set GC must treat as published branch history, not crashed
+    * claims. Bounded by the number of branch commits (small). */
+  private def branchReachableIds: Set[Long] = {
+    val seen = scala.collection.mutable.Set.empty[Long]
+    branches.values.foreach { head =>
+      var cur = Option(head)
+      while (cur.exists(id => id >= 0 && seen.add(id)))
+        cur = cur.flatMap(parentOf)
+    }
+    seen.toSet
+  }
+
+  /** Fast-forward the main line to a branch head (the Iceberg
+    * `fast_forward` procedure): allowed only when the branch head is a
+    * DESCENDANT of CURRENT (walking the branch's parent chain reaches
+    * CURRENT), so main's history is a prefix of the branch's — a plain
+    * pointer advance, never a rewrite. Non-fast-forward states (main
+    * advanced independently since the branch was cut) are refused;
+    * reconcile by re-branching from the new main and replaying, as with
+    * git. The branch pointer itself is left in place. */
+  def fastForward(name: String): Long = {
+    val head = branches.getOrElse(name,
+      throw new IllegalArgumentException(s"no branch '$name' in $dir"))
+    val cur = currentSnapshotId.getOrElse(-1L)
+    if (head == cur) return cur
+    var walk = Option(head)
+    var found = false
+    while (!found && walk.exists(_ > cur))
+      { walk = walk.flatMap(parentOf); found = walk.contains(cur) }
+    if (!(found || cur < 0))
+      throw new IllegalStateException(
+        s"cannot fast-forward $dir to branch '$name' (head $head): CURRENT " +
+          s"$cur is not an ancestor of the branch head. Re-branch from the " +
+          "live snapshot and replay the branch's changes.")
+    val tmpC = Paths.get(dir, "CURRENT.tmp")
+    Files.writeString(tmpC, head.toString)
+    Files.move(tmpC, currentFile,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    head
+  }
+
   /** Orphan-file cleanup (Iceberg `removeOrphanFiles` analog): delete data
     * file-sets under `data/` that NO manifest on disk references. Orphans
     * are the residue of the crash-safe commit protocol itself — data is
@@ -722,6 +879,10 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
   def removeOrphanManifests(olderThanMillis: Long): Seq[String] = {
     if (!Files.exists(manifestsDir)) return Seq.empty
     val cur = currentSnapshotId.getOrElse(-1L)
+    // ids published to a BRANCH sit beyond CURRENT by construction but are
+    // live history, not crashed claims — everything reachable from a
+    // branch head is off-limits (dropBranch is what releases them)
+    val branchLive = branchReachableIds
     val horizon = System.currentTimeMillis() - olderThanMillis
     // a WAP marker whose manifest is gone (discard crashed between the
     // two deletes) is inert residue — sweep it
@@ -735,7 +896,8 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     }
     listDir(manifestsDir).flatMap { p =>
       p.getFileName.toString match {
-        case SnapshotTable.SnapName(id) if id.toLong > cur =>
+        case SnapshotTable.SnapName(id)
+          if id.toLong > cur && !branchLive(id.toLong) =>
           // tolerate the concurrent-reclaim race (another GC or a
           // committer's publish/delete between our listing and the stat)
           // — same posture as snapshotIds
@@ -912,6 +1074,7 @@ object SnapshotTable {
     extends IllegalStateException(msg)
   private val SnapName = """snap-(\d+)\.json""".r
   private val StagedName = """snap-(\d+)\.staged""".r
+  private val ParentField = """"parentId":(-?\d+)""".r
   private val BucketsField = """"buckets":(\d+)""".r
   private val BucketField = """"bucket":(\d+)""".r
 
