@@ -37,8 +37,22 @@ object Bench {
     val execMem = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "12g")
     // worker offer must cover heap + standalone memoryOverhead (10%)
     val workerMemMb = sys.env.getOrElse("SPARK_GRAFT_WORKER_MEM_MB", "16384").toInt
+    // Two cluster-pair shapes (SPARK_GRAFT_CLUSTER_SHAPE):
+    //  - "workers" (default): 1 executor vs 4 executors of 4 cores — the
+    //    rule's literal N→4N executor count, but the narrow level gets
+    //    100% process-local shuffle while the wide level fetches 75%
+    //    cross-process, a structurally STEEPER remote-fraction jump than
+    //    any real N→4N scale-out (10→40 executors moves 90%→97.5%);
+    //  - "cores": a FIXED 4-executor cluster at 1 core vs 4 cores each —
+    //    remote shuffle fraction constant (75%) at both levels, isolating
+    //    how the job's own stages scale when every level pays the same
+    //    process-boundary cost (the real-cluster-translatable pair).
+    val clusterShape = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_SHAPE", "workers")
     val master =
-      if (localCluster) s"local-cluster[${math.max(1, cores / 4)},4,$workerMemMb]"
+      if (localCluster && clusterShape == "cores")
+        s"local-cluster[4,${math.max(1, cores / 4)},$workerMemMb]"
+      else if (localCluster)
+        s"local-cluster[${math.max(1, cores / 4)},4,$workerMemMb]"
       else s"local[$cores]"
     val b0 = SparkSession.builder()
       .master(master)
@@ -320,8 +334,12 @@ object Bench {
     // the distribution is the honest signal)
     try {
       Files.createDirectories(Paths.get("BENCH"))
+      val shapeField =
+        if (localCluster)
+          s""","shape":"${sys.env.getOrElse("SPARK_GRAFT_CLUSTER_SHAPE", "workers")}""""
+        else ""
       val histLine =
-        s"""{"cores_n":$smallCpus,"sec_n":${f(secSmall)},"tps_n":${f(tpsSmall)},"cores_4n":$bigCpus,"sec_4n":${f(secBig)},"tps_4n":${f(tpsBig)},"efficiency":${f(efficiency)},"hostCeiling":${f(hostCeiling)},"memCeiling":${f(memCeiling)},"turns":$turns}"""
+        s"""{"cores_n":$smallCpus,"sec_n":${f(secSmall)},"tps_n":${f(tpsSmall)},"cores_4n":$bigCpus,"sec_4n":${f(secBig)},"tps_4n":${f(tpsBig)},"efficiency":${f(efficiency)},"hostCeiling":${f(hostCeiling)},"memCeiling":${f(memCeiling)},"turns":$turns$shapeField}"""
       // cluster-mode samples (separate executor JVMs) go to their own
       // history — the levels are executor counts, not thread counts, so
       // they must not mix into the thread-mode headline policy; they feed
@@ -387,19 +405,27 @@ object Bench {
         else {
           val rows = clusterHist.takeRight(12).map { l =>
             def g(k: String) = grabIn(l, k)
-            def w(k: String) = // cores recorded; workers = cores / 4
-              g(k).toDoubleOption.map(c => (c / 4).toInt.toString).getOrElse("?")
-            s"| ${w("cores_n")}→${w("cores_4n")} | ${g("tps_n")} | ${g("tps_4n")} | ${g("efficiency")} | ${g("hostCeiling")} | ${g("memCeiling")} |"
+            val shape = """"shape":"([a-z]+)"""".r
+              .findFirstMatchIn(l).map(_.group(1)).getOrElse("workers")
+            def lvl(k: String) = g(k).toDoubleOption.map { c =>
+              if (shape == "cores") s"4×${(c / 4).toInt}c"
+              else s"${(c / 4).toInt}×4c"
+            }.getOrElse("?")
+            s"| ${lvl("cores_n")}→${lvl("cores_4n")} | ${g("tps_n")} | ${g("tps_4n")} | ${g("efficiency")} | ${g("hostCeiling")} | ${g("memCeiling")} |"
           }.mkString("\n")
           "\n### spark-submit / separate-executor-JVM samples" +
-            " (`local-cluster[W,4,mem]`)\n" +
+            " (`local-cluster[...]`)\n" +
             "Same flagship pair run via spark-submit (tools/run_cluster_bench.sh):\n" +
-            "Spark's standalone Worker/ExecutorRunner path launches W separate\n" +
-            "executor JVMs (4 cores, 12g heap each), netty shuffle between\n" +
-            "processes — the two levels are literally 1 executor vs 4 executors,\n" +
-            "the north rule's cluster shape. Same shared-host caveats apply\n" +
-            "(one physical memory bus under all executors).\n\n" +
-            "| W→4W executors | tps@W | tps@4W | efficiency | host ceiling | mem ceiling |\n" +
+            "Spark's standalone Worker/ExecutorRunner path forks separate\n" +
+            "executor JVMs (12g heap each), netty shuffle between processes.\n" +
+            "Levels column reads executors×cores. The `W×4c` shape is the\n" +
+            "rule's literal 1→4 executor count, but it flips the remote-\n" +
+            "shuffle fraction from 0% to 75% between levels — structurally\n" +
+            "steeper than any real N→4N scale-out (10→40 executors moves\n" +
+            "90%→97.5%); the `4×Nc` shape holds the remote fraction constant\n" +
+            "at 75% on a fixed 4-executor cluster, the cluster-translatable\n" +
+            "pair. Same shared-bus caveats as the thread-mode table.\n\n" +
+            "| level N→4N | tps@N | tps@4N | efficiency | host ceiling | mem ceiling |\n" +
             "|---|---|---|---|---|---|\n" + rows + "\n"
         }
       // history rows are substituted AFTER stripMargin — embedded rows start

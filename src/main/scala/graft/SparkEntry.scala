@@ -2959,6 +2959,39 @@ object SparkEntry {
             col("ok_alternating") && col("ok_has_assistant"))
     }),
 
+    "q_tool_loops" -> ((s, dir) => {
+      // AGENT TOOL-LOOP DETECTION — trajectory-quality mining over agent
+      // transcripts: a run of CONSECUTIVE identical tool invocations is
+      // the classic stuck-agent signature (retrying the same call without
+      // progress), and loop-heavy conversations are dropped or truncated
+      // before SFT. Per conversation: number of tool turns, the longest
+      // same-tool run, and the loop flag (run ≥ 3). Scale shape: ONE
+      // conv-keyed exchange — tool turns only (the filter lands before
+      // the shuffle, ~1/3 of rows), groupBy + sorted per-conv array, the
+      // run length a linear in-row fold (q_repetition_quality's sorted
+      // max-run discipline); window-free, no second pass.
+      val role = pmod(pmod(col("event_id") * lit(2654435761L), lit(97L)), lit(3L))
+      t(s, dir, "events")
+        .where(role === 2) // tool turns
+        .groupBy(col("user_id").as("conv_id"))
+        .agg(
+          count(lit(1)).as("n_tool_turns"),
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type").as("tool")))).as("seq"))
+        .withColumn("max_tool_run", expr(
+          """aggregate(transform(seq, x -> x.tool),
+               named_struct('prev', CAST('' AS STRING),
+                            'run',  CAST(0 AS BIGINT),
+                            'best', CAST(0 AS BIGINT)),
+               (a, t) -> named_struct(
+                 'prev', t,
+                 'run',  IF(t = a.prev, a.run + 1L, 1L),
+                 'best', greatest(a.best, IF(t = a.prev, a.run + 1L, 1L))),
+               a -> a.best)"""))
+        .select(col("conv_id"), col("n_tool_turns"), col("max_tool_run"),
+          (col("max_tool_run") >= 3).as("looping"))
+    }),
+
     "q_rank_fusion" -> ((s, dir) => {
       // HYBRID-RETRIEVAL RANK FUSION — reciprocal rank fusion (Cormack,
       // Clarke & Büttcher, SIGIR 2009): rrf(d) = Σ_lists 1/(60 + rank_d),
@@ -4757,6 +4790,21 @@ object SparkEntry {
            (g.ok_contig AND g.ok_first_user AND g.ok_no_empty
              AND a.ok_alternating AND g.ok_has_assistant) AS valid
          FROM g JOIN a ON g.conv_id = a.user_id""",
+
+    "q_tool_loops" ->
+      """WITH tt AS (SELECT user_id, ts, event_id, event_type AS tool
+           FROM events WHERE ((event_id * 2654435761) % 97) % 3 = 2),
+         seq AS (SELECT user_id, tool,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, tool ORDER BY ts, event_id) AS rt
+           FROM tt),
+         runs AS (SELECT user_id, count(*)::BIGINT AS len
+           FROM seq GROUP BY user_id, tool, rn - rt),
+         g AS (SELECT user_id, max(len) AS max_tool_run FROM runs GROUP BY user_id),
+         n AS (SELECT user_id, count(*)::BIGINT AS n_tool_turns FROM tt GROUP BY user_id)
+         SELECT n.user_id AS conv_id, n.n_tool_turns, g.max_tool_run,
+           (g.max_tool_run >= 3) AS looping
+         FROM n JOIN g ON n.user_id = g.user_id""",
 
     "q_rank_fusion" ->
       s"""WITH d AS (SELECT lang, doc_id, text,

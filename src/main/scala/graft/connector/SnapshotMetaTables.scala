@@ -77,10 +77,14 @@ object SnapshotMetaTables {
       val nodes = lines.map(mapper.readTree)
       val parent = nodes.headOption.map(_.get("parentId").asLong()).getOrElse(-1L)
       val buckets = nodes.headOption.map(_.get("buckets").asInt()).getOrElse(-1)
+      // MOR delete key-sets are counted as file-sets but their key counts
+      // are not turns
       val entries = nodes.filterNot(_.has("tombstone"))
+      val dataEntries = entries.filterNot(n =>
+        n.has("kind") && n.get("kind").asText() == "delete")
       new GenericInternalRow(Array[Any](
         id, parent, buckets, entries.size,
-        entries.map(_.get("turns").asLong()).sum,
+        dataEntries.map(_.get("turns").asLong()).sum,
         id == cur, staged(id)))
     }
   }
@@ -88,6 +92,7 @@ object SnapshotMetaTables {
   private def fileRows(dir: String): Seq[InternalRow] = {
     val table = SnapshotTable.open(dir)
     table.currentSnapshotId.map(SnapshotManifest.read(dir, _)).getOrElse(Seq.empty)
+      .filter(_.kind == "data") // MOR delete key-sets are not data files
       .sortBy(e => (e.bucket, e.path))
       .map(e => new GenericInternalRow(Array[Any](
         e.bucket, UTF8String.fromString(e.path), UTF8String.fromString(e.runId),

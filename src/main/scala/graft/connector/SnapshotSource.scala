@@ -185,7 +185,8 @@ object SnapshotTableMeta {
   * could prune a file-set whose last rows sit inside the truncated second.
   * `minTsMs` floors too, which only widens the range (safe). */
 final case class ManifestEntry(bucket: Int, path: String, runId: String,
-    turns: Long, minTsMs: Long, maxTsMs: Long, schema: String, numBuckets: Int)
+    turns: Long, minTsMs: Long, maxTsMs: Long, schema: String, numBuckets: Int,
+    kind: String = "data")
 
 object SnapshotManifest {
   private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
@@ -223,7 +224,8 @@ object SnapshotManifest {
         n.get("bucket").asInt(), n.get("path").asText(), n.get("runId").asText(),
         n.get("turns").asLong(),
         tsMs(n.get("minTs").asText()), tsMs(n.get("maxTs").asText()) + 1000L,
-        if (n.has("schema")) n.get("schema").asText() else "", buckets)
+        if (n.has("schema")) n.get("schema").asText() else "", buckets,
+        if (n.has("kind")) n.get("kind").asText() else "data")
     } match {
       case es if es.exists(_.numBuckets < 0) =>
         val nb = es.map(_.bucket).max + 1
@@ -241,6 +243,17 @@ final class SnapshotV2Table(dir: String, snapshotId: Long,
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  // MERGE-ON-READ gate: the V2 scan maps file-sets straight onto Spark's
+  // parquet reader and cannot apply pending delete key-sets — serving the
+  // table anyway would silently resurrect MOR-deleted rows, and a COW
+  // row-level op built on such a scan would re-materialize them. Refuse
+  // loudly instead (the Iceberg format-version posture: a reader below
+  // the table's capability must not guess).
+  require(!entries.exists(_.kind == "delete"),
+    s"snapshot $snapshotId of $dir has pending merge-on-read deletes; " +
+      "fold them first (SnapshotTable.compact / CALL graft.system.compact) " +
+      "or read through the library API (SnapshotTable.read applies them)")
 
   /** SQL `UPDATE` / `MERGE INTO` / non-key `DELETE`: group-based
     * copy-on-write over buckets ([[SnapshotRowLevelOperation]]).
@@ -765,6 +778,14 @@ final class SnapshotMicroBatchStream(dir: String, numBuckets: Int,
           ".option(\"allowReplaced\", \"true\") to accept at-least-once " +
           "redelivery of rewritten buckets.")
     val added = toEntries.filterNot(en => fromPaths(en.path))
+    // a new MOR delete key-set is not an append — the stream cannot
+    // retract rows it already emitted; stop loudly (same posture as a
+    // rewrite without allowReplaced)
+    if (added.exists(_.kind == "delete"))
+      throw new IllegalStateException(
+        s"snapshots $s → $e introduce merge-on-read deletes under the " +
+          "stream; a snapshot-delta stream cannot retract emitted rows — " +
+          "compact the table and restart the query from a fresh offset")
     val pruned = SnapshotRead.prune(dir, numBuckets, added, pushed)
     SnapshotRead.pack(spark, SnapshotRead.listFiles(spark, pruned))
   }

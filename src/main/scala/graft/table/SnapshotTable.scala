@@ -54,7 +54,8 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
   final case class BucketEntry(
       bucket: Int, path: String, runId: String,
       turns: Long, blocksKept: Long, blocksDropped: Long, charsEmitted: Long,
-      minTs: String, maxTs: String, schema: String)
+      minTs: String, maxTs: String, schema: String,
+      kind: String = "data") // "data" | "delete" (merge-on-read key file-set)
 
   def currentSnapshotId: Option[Long] =
     if (Files.exists(currentFile))
@@ -70,7 +71,8 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
       s""""path":"${esc(e.path)}","runId":"${esc(e.runId)}","turns":${e.turns},""" +
       s""""blocksKept":${e.blocksKept},"blocksDropped":${e.blocksDropped},""" +
       s""""charsEmitted":${e.charsEmitted},"minTs":"${esc(e.minTs)}","maxTs":"${esc(e.maxTs)}",""" +
-      s""""schema":"${esc(e.schema)}"}"""
+      s""""schema":"${esc(e.schema)}"""" +
+      (if (e.kind == "data") "}" else s""","kind":"${esc(e.kind)}"}""")
 
   /** All bucket entries of the live snapshot (empty if none). Parsed with
     * Spark's JSON reader — the manifest is data. */
@@ -93,14 +95,18 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     if (!raw.columns.contains("bucket")) return Seq.empty
     val noTomb = if (raw.columns.contains("tombstone")) raw.filter(col("tombstone").isNull)
                  else raw
-    // pre-schema-tracking manifests carry no `schema` field: treat as ""
-    val df = if (noTomb.columns.contains("schema")) noTomb
+    // pre-schema-tracking manifests carry no `schema` field: treat as "";
+    // pre-MOR manifests carry no `kind` (all entries are data)
+    val withSchema = if (noTomb.columns.contains("schema")) noTomb
              else noTomb.withColumn("schema", lit(""))
+    val df = if (withSchema.columns.contains("kind"))
+               withSchema.withColumn("kind", coalesce(col("kind"), lit("data")))
+             else withSchema.withColumn("kind", lit("data"))
     df.select("bucket", "path", "runId", "turns", "blocksKept",
-        "blocksDropped", "charsEmitted", "minTs", "maxTs", "schema")
-      .as[(Long, String, String, Long, Long, Long, Long, String, String, String)]
+        "blocksDropped", "charsEmitted", "minTs", "maxTs", "schema", "kind")
+      .as[(Long, String, String, Long, Long, Long, Long, String, String, String, String)]
       .collect().toSeq
-      .map(t => BucketEntry(t._1.toInt, t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9, t._10))
+      .map(t => BucketEntry(t._1.toInt, t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9, t._10, t._11))
   }
 
   def committedBuckets(spark: SparkSession): Set[Int] =
@@ -212,7 +218,9 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     require(publish || toBranch.isEmpty,
       "write-audit-publish staging targets the main line; audit on main " +
         "and fastForward a branch instead")
-    val schemaDdl = newEntries.headOption.map(_.schema).getOrElse("")
+    // schema tracking governs DATA entries; merge-on-read delete entries
+    // carry the fixed key schema and never participate in the guard
+    val schemaDdl = newEntries.find(_.kind == "data").map(_.schema).getOrElse("")
     if (newEntries.isEmpty && forceReplace.isEmpty &&
         replaceExactly.forall(_.isEmpty) && dropPaths.isEmpty)
       return None
@@ -254,7 +262,7 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     // the other (`ALTER TABLE ADD COLUMNS` appends nullable columns;
     // readers resolve the widest and null-fill old files). Anything else
     // — renames, type changes, reorders — is still rejected.
-    prev.find(e => schemaDdl.nonEmpty && e.schema.nonEmpty &&
+    prev.find(e => e.kind == "data" && schemaDdl.nonEmpty && e.schema.nonEmpty &&
         e.schema != schemaDdl &&
         !SnapshotTable.prefixCompatible(e.schema, schemaDdl)).foreach { e =>
       throw new IllegalStateException(
@@ -444,10 +452,24 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
 
   /** Read the live snapshot (only manifest-listed paths — orphan data from
     * crashed runs is invisible). */
-  def read(spark: SparkSession): DataFrame = {
-    val entries = committedEntries(spark)
-    require(entries.nonEmpty, s"no committed snapshot in $dir")
-    val ddls = entries.map(_.schema).filter(_.nonEmpty).distinct
+  /** Pending merge-on-read delete keys of an entry set, applied as a
+    * `(conv_id, turn_idx)` anti-join — the read-time half of
+    * [[deleteRowsMor]]. Both sides are conv_id-bucketed on disk, so on
+    * the co-located read path this is a per-bucket merge, and the delete
+    * side is bounded by deletes-since-last-compact (transient by design —
+    * [[compact]] folds them back to zero). */
+  private def applyDeletes(spark: SparkSession, df: DataFrame,
+      delEntries: Seq[BucketEntry]): DataFrame =
+    if (delEntries.isEmpty) df
+    else df.join(
+      spark.read.parquet(delEntries.map(_.path): _*)
+        .select(col("conv_id"), col("turn_idx")),
+      Seq("conv_id", "turn_idx"), "left_anti")
+
+  /** Data rows of an entry set under the widest compatible schema —
+    * WITHOUT delete application (callers decide). */
+  private def dataRead(spark: SparkSession, dataEntries: Seq[BucketEntry]): DataFrame = {
+    val ddls = dataEntries.map(_.schema).filter(_.nonEmpty).distinct
     if (ddls.size > 1)
       // additive evolution left old and new file-sets in one snapshot:
       // read under the WIDEST schema — parquet null-fills the columns an
@@ -458,10 +480,22 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
           return spark.read
             .schema(org.apache.spark.sql.types.DataType.fromDDL(w)
               .asInstanceOf[org.apache.spark.sql.types.StructType])
-            .parquet(entries.map(_.path): _*)
+            .parquet(dataEntries.map(_.path): _*)
         case None => // incompatible mix (pre-guard table): infer as before
       }
-    spark.read.parquet(entries.map(_.path): _*)
+    spark.read.parquet(dataEntries.map(_.path): _*)
+  }
+
+  /** Logical rows of an entry set: data minus pending MOR deletes. */
+  private def logicalRead(spark: SparkSession, entries: Seq[BucketEntry]): DataFrame = {
+    val (del, data) = entries.partition(_.kind == "delete")
+    applyDeletes(spark, dataRead(spark, data), del)
+  }
+
+  def read(spark: SparkSession): DataFrame = {
+    val entries = committedEntries(spark)
+    require(entries.nonEmpty, s"no committed snapshot in $dir")
+    logicalRead(spark, entries)
   }
 
   /** Per-bucket table statistics straight from the live manifest — the
@@ -474,7 +508,10 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     * bucket's file sets (incremental/streaming commits append several). */
   def stats(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    committedEntries(spark)
+    // manifest stats describe DATA file-sets; pending MOR deletes are not
+    // netted out until compact folds them (document, don't guess — the
+    // delete side's per-bucket key counts are in its own entries)
+    committedEntries(spark).filter(_.kind == "data")
       .map(e => (e.bucket, e.turns, e.blocksKept, e.blocksDropped,
         e.charsEmitted, e.minTs, e.maxTs))
       .toDF("bucket", "turns", "blocksKept", "blocksDropped",
@@ -496,7 +533,7 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
   def readAt(spark: SparkSession, snapshotId: Long): DataFrame = {
     val entries = entriesAt(spark, snapshotId)
     require(entries.nonEmpty, s"snapshot $snapshotId is empty")
-    spark.read.parquet(entries.map(_.path): _*)
+    logicalRead(spark, entries)
   }
 
   /** Bucket-pruned single-conversation read: computes the conversation's
@@ -508,7 +545,7 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     val b = bucketOfId(convId) // driver-side hash: a point lookup costs no job
     val entries = committedEntries(spark).filter(_.bucket == b)
     require(entries.nonEmpty, s"bucket $b not committed in $dir")
-    spark.read.parquet(entries.map(_.path): _*)
+    logicalRead(spark, entries)
       .where(col("conv_id") === convId)
   }
 
@@ -522,7 +559,12 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
   def compact(spark: SparkSession, runId: String): Long = {
     import spark.implicits._
     val df = read(spark).as[graft.model.ExtractedTurn]
-    commit(spark, df, runId)
+    // forceReplace every committed bucket: the compacted snapshot holds
+    // EXACTLY the rewrite — stale pairs of a fully-MOR-deleted bucket (all
+    // data matched by delete keys ⇒ no compacted output rows for it) drop
+    // out instead of lingering, and every pending delete file-set folds in
+    commit(spark, df, runId, replaceBuckets = true,
+      forceReplace = committedBuckets(spark))
       .getOrElse(sys.error(s"compact of empty table $dir"))
   }
 
@@ -552,7 +594,7 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
       .filter(!col("_b").isin(buckets.toSeq: _*)).count()
     require(stray == 0L,
       s"$stray replacement row(s) hash outside the rewritten buckets $buckets")
-    val survivors = spark.read.parquet(entries.map(_.path): _*)
+    val survivors = logicalRead(spark, entries) // pending MOR deletes honored
       .where(!col("conv_id").isin(convIds: _*))
       .as[ExtractedTurn]
     commit(spark, survivors.unionByName(replacement), runId,
@@ -565,6 +607,61 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     import spark.implicits._
     replaceWhere(spark, convIds, spark.emptyDataset[ExtractedTurn], runId)
   }
+
+  /** MERGE-ON-READ row-level delete (the Iceberg v2 position/equality
+    * delete-file analog, equality form on the table key): instead of
+    * rewriting the owning buckets (copy-on-write — [[replaceWhere]] /
+    * [[merge]] / the SQL row-level ops), the delete writes only the
+    * `(conv_id, turn_idx)` KEYS as a bucketed parquet file-set and commits
+    * a manifest entry of `kind = "delete"`. Write cost is O(deleted keys)
+    * — at 100 TB, deleting a few thousand rows costs kilobytes, not a
+    * bucket rewrite. Every read path applies pending deletes as a
+    * co-bucketed anti-join; [[compact]] folds them back into plain data
+    * file-sets (the read-tax amortization point, as in Iceberg). Time
+    * travel to the pre-delete snapshot still sees the rows (the data
+    * files are untouched by construction). Keys that match nothing are
+    * inert. The V2 connector refuses to read a snapshot with pending MOR
+    * deletes (compact first, or read through the library) rather than
+    * silently resurrecting rows — the Iceberg format-version posture.
+    *
+    * @param keys distinct delete keys; extra columns are ignored.
+    * @return the new snapshot id (None if `keys` touches no committed
+    *         bucket). */
+  def deleteRowsMor(spark: SparkSession, keys: DataFrame,
+      runId: String): Option[Long] = {
+    require(keys.columns.contains("conv_id") && keys.columns.contains("turn_idx"),
+      s"deleteRowsMor needs (conv_id, turn_idx) columns; got [${keys.columns.mkString(", ")}]")
+    val live = committedBuckets(spark)
+    val dataPath = s"$dir/data/run=$runId"
+    val k = keys
+      .select(col("conv_id").cast("string").as("conv_id"),
+        col("turn_idx").cast("int").as("turn_idx"))
+      .distinct()
+      .withColumn("bucket", bucketOf)
+      .filter(col("bucket").isin(live.toSeq: _*)) // keys to nowhere are inert
+    // DATA FIRST (same crash posture as every commit: unreferenced until
+    // the manifest lands); counts observed in the same job
+    k.repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("conv_id"), col("turn_idx"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dataPath)
+    import spark.implicits._
+    val counts = spark.read.parquet(dataPath)
+      .groupBy(col("bucket")).count().as[(Int, Long)].collect().sortBy(_._1)
+    if (counts.isEmpty) return None
+    val keyDdl = "struct<conv_id:string,turn_idx:int>"
+    val entries = counts.toSeq.map { case (b, n) =>
+      BucketEntry(b, s"$dataPath/bucket=$b", runId, n, 0L, 0L, 0L,
+        "1970-01-01T00:00:00", "1970-01-01T00:00:00", keyDdl, kind = "delete")
+    }
+    commitEntries(spark, entries, replaceBuckets = false)
+  }
+
+  /** [[deleteRowsMor]] by predicate: the matching keys are computed from
+    * the live logical table, then deleted merge-on-read. */
+  def deleteWhereMor(spark: SparkSession, condition: org.apache.spark.sql.Column,
+      runId: String): Option[Long] =
+    deleteRowsMor(spark,
+      read(spark).where(condition).select(col("conv_id"), col("turn_idx")), runId)
 
   /** Keyed UPSERT (the Iceberg `MERGE INTO … WHEN MATCHED UPDATE / WHEN NOT
     * MATCHED INSERT` analog on the table key `(conv_id, turn_idx)`): rows in
@@ -596,7 +693,7 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     val keys = updates.select(col("conv_id"), col("turn_idx")).distinct()
     val survivors =
       (if (entries.isEmpty) spark.emptyDataset[ExtractedTurn].toDF()
-       else spark.read.parquet(entries.map(_.path): _*))
+       else logicalRead(spark, entries)) // pending MOR deletes honored
         .join(keys, Seq("conv_id", "turn_idx"), "left_anti")
         .as[ExtractedTurn]
     commit(spark, survivors.unionByName(updates), runId,
@@ -994,16 +1091,29 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     val fromPaths = fromEntries.map(_.path).toSet
     val toPaths = toEntries.map(_.path).toSet
     val rewritten = fromEntries.filterNot(e => toPaths(e.path))
-    if (rewritten.nonEmpty && !allowReplaced)
+    val added = toEntries.filterNot(e => fromPaths(e.path))
+    val (addedDel, addedData) = added.partition(_.kind == "delete")
+    // a NEW merge-on-read delete entry shrinks its bucket's logical
+    // content — not an append, even though no path was removed
+    if ((rewritten.nonEmpty || addedDel.nonEmpty) && !allowReplaced)
       throw new IllegalStateException(
         s"snapshots $fromSnapshotId → $toSnapshotId are not append-only: " +
-          s"bucket(s) ${rewritten.map(_.bucket).distinct.sorted.mkString(",")} " +
-          "were rewritten (compact/replaceWhere/delete) in between. Pass " +
-          "allowReplaced=true to read the full new content of rewritten " +
-          "buckets (at-least-once delta) instead.")
-    val added = toEntries.filterNot(e => fromPaths(e.path))
-    if (added.isEmpty) readAt(spark, toSnapshotId).limit(0) // empty, full schema
-    else spark.read.parquet(added.map(_.path): _*)
+          s"bucket(s) ${(rewritten ++ addedDel).map(_.bucket).distinct.sorted.mkString(",")} " +
+          "were rewritten or MOR-deleted (compact/replaceWhere/delete) in " +
+          "between. Pass allowReplaced=true to read the full new content " +
+          "of affected buckets (at-least-once delta) instead.")
+    // buckets that gained delete keys must be redelivered as their FULL
+    // new logical content (data minus deletes at `to`); everything else
+    // is the plain added-data delta
+    val morBuckets = addedDel.map(_.bucket).toSet
+    val rest = addedData.filterNot(e => morBuckets(e.bucket))
+    val parts = Seq(
+      if (morBuckets.nonEmpty)
+        Some(logicalRead(spark, toEntries.filter(e => morBuckets(e.bucket))))
+      else None,
+      if (rest.nonEmpty) Some(dataRead(spark, rest)) else None).flatten
+    if (parts.isEmpty) readAt(spark, toSnapshotId).limit(0) // empty, full schema
+    else parts.reduce(_ unionByName _)
   }
 
   /** Row-level CDC between two snapshots (the Iceberg
@@ -1029,12 +1139,15 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
       .filter(b => fromB.get(b) != toB.get(b)).toSeq.sorted
     val schema = readAt(spark,
       if (toEntries.nonEmpty) toSnapshotId else fromSnapshotId).limit(0)
-    def side(m: Map[Int, Seq[String]]): DataFrame = {
-      val paths = changed.flatMap(b => m.getOrElse(b, Nil))
-      if (paths.isEmpty) schema else spark.read.parquet(paths: _*)
+    // each side is its snapshot's LOGICAL content of the changed buckets
+    // (data minus that snapshot's pending MOR deletes) — a delete-only
+    // commit therefore diffs as pure `op = delete` rows
+    def side(es: Seq[BucketEntry]): DataFrame = {
+      val sel = es.filter(e => changed.contains(e.bucket))
+      if (sel.forall(_.kind != "data")) schema else logicalRead(spark, sel)
     }
-    val oldRows = side(fromB)
-    val newRows = side(toB)
+    val oldRows = side(fromEntries)
+    val newRows = side(toEntries)
     newRows.exceptAll(oldRows).withColumn("op", lit("insert"))
       .unionByName(oldRows.exceptAll(newRows).withColumn("op", lit("delete")))
   }
@@ -1046,11 +1159,17 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     * are ISO-8601 seconds UTC (the manifest's own format — the fixed-width
     * form makes lexicographic comparison correct). */
   def readRange(spark: SparkSession, minTs: String, maxTs: String): DataFrame = {
-    val entries = committedEntries(spark)
-      .filter(e => e.maxTs >= minTs && e.minTs <= maxTs)
-    if (entries.isEmpty)
+    val all = committedEntries(spark)
+    // ts pruning applies to DATA file-sets only — delete key-sets carry no
+    // ts range and must always apply, or a range read would resurrect
+    // MOR-deleted rows whose delete entry sits "outside" the range
+    val data = all.filter(e => e.kind == "data" &&
+      e.maxTs >= minTs && e.minTs <= maxTs)
+    if (data.isEmpty)
       return read(spark).limit(0) // empty frame, full schema
-    spark.read.parquet(entries.map(_.path): _*)
+    val dels = all.filter(e => e.kind == "delete" &&
+      data.exists(_.bucket == e.bucket))
+    applyDeletes(spark, dataRead(spark, data), dels)
       .where(col("ts") >= to_timestamp(lit(minTs)) &&
         col("ts") <= to_timestamp(lit(maxTs)))
   }

@@ -1,0 +1,158 @@
+package graft
+
+import graft.gen.TranscriptGen
+import graft.pipe.ExtractPipeline
+import graft.table.SnapshotTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Merge-on-read delete suite (Iceberg v2 equality-delete-file analog):
+  * deleting rows writes only their keys; reads apply them as a co-bucketed
+  * anti-join; compact folds them away; the V2 connector refuses rather than
+  * resurrects. The contract under test everywhere: the LOGICAL table equals
+  * copy-on-write's result while the data files stay byte-untouched.
+  */
+class MorDeleteSpec extends AnyFunSuite with SparkTestBase {
+
+  private def freshTable(nConvs: Int = 12): (String, SnapshotTable) = {
+    val dir = Files.createTempDirectory("mor").toString
+    val table = new SnapshotTable(dir, numBuckets = 4)
+    val turns = TranscriptGen.dataset(spark, 11L, nConvs, hotBase = 30, partitions = 2)
+    table.commit(spark, ExtractPipeline.extract(spark, turns), "base").get
+    (dir, table)
+  }
+
+  test("deleteRowsMor: rows vanish from every read path; data files stay " +
+    "byte-untouched; time travel sees them; inert keys are no-ops") {
+    import testImplicits._
+    val (dir, table) = freshTable()
+    val before = table.read(spark)
+    val total = before.count()
+    val preSnap = table.currentSnapshotId.get
+    val dataFiles = before.inputFiles.toSet
+
+    // delete one full conversation + one single turn of another
+    val victimConv = before.select("conv_id").as[String].head()
+    val otherTurn = before.where(col("conv_id") =!= victimConv)
+      .select("conv_id", "turn_idx").as[(String, Int)].head()
+    val doomed = before.where(col("conv_id") === victimConv)
+      .select("conv_id", "turn_idx")
+      .unionByName(Seq(otherTurn).toDF("conv_id", "turn_idx"))
+      .unionByName(Seq(("no-such-conv", 0)).toDF("conv_id", "turn_idx")) // inert
+    val nDoomed = before.where(col("conv_id") === victimConv).count() + 1
+    val snap = table.deleteRowsMor(spark, doomed, "mor-1").get
+
+    val after = table.read(spark)
+    assert(after.count() == total - nDoomed)
+    assert(after.where(col("conv_id") === victimConv).count() == 0)
+    assert(after.where(col("conv_id") === otherTurn._1 &&
+      col("turn_idx") === otherTurn._2).count() == 0)
+    // the surviving turn of the partially-deleted conversation is intact
+    assert(table.readConversation(spark, otherTurn._1).count() > 0)
+    // data files untouched: the new snapshot still references every one
+    assert(dataFiles.subsetOf(after.inputFiles.toSet ++
+      table.read(spark).inputFiles.toSet)) // anti-join side adds delete files
+    assert(table.readAt(spark, preSnap).count() == total) // time travel
+    // stats still describe the data file-sets (deletes not netted)
+    import org.apache.spark.sql.functions.{sum => fsum}
+    assert(table.stats(spark).agg(fsum("turns")).as[Long].head() == total)
+    assert(snap > preSnap)
+  }
+
+  test("readRange still applies deletes (delete key-sets carry no ts and " +
+    "must not be pruned away)") {
+    import testImplicits._
+    val (_, table) = freshTable()
+    val all = table.read(spark)
+    val victim = all.select("conv_id").as[String].head()
+    table.deleteRowsMor(spark,
+      all.where(col("conv_id") === victim).select("conv_id", "turn_idx"), "mor-r")
+    val lo = "1970-01-01T00:00:00"; val hi = "2100-01-01T00:00:00"
+    assert(table.readRange(spark, lo, hi)
+      .where(col("conv_id") === victim).count() == 0)
+  }
+
+  test("compact folds deletes: no delete entries remain, logical rows " +
+    "unchanged, fully-deleted buckets drop from the manifest") {
+    import testImplicits._
+    val (_, table) = freshTable()
+    val all = table.read(spark)
+    val victim = all.select("conv_id").as[String].head()
+    table.deleteRowsMor(spark,
+      all.where(col("conv_id") === victim).select("conv_id", "turn_idx"), "mor-c")
+    val logical = table.read(spark).select("conv_id", "turn_idx")
+      .as[(String, Int)].collect().sorted
+    table.compact(spark, "fold-1")
+    val entries = table.committedEntries(spark)
+    assert(entries.forall(_.kind == "data"), entries.map(_.kind).toString)
+    val folded = table.read(spark).select("conv_id", "turn_idx")
+      .as[(String, Int)].collect().sorted
+    assert(folded.sameElements(logical))
+  }
+
+  test("COW maintenance over pending deletes does not resurrect: merge and " +
+    "replaceWhere read the LOGICAL survivors") {
+    import testImplicits._
+    val (_, table) = freshTable()
+    val all = table.read(spark).as[graft.model.ExtractedTurn]
+    // MOR-delete one turn, then merge-update a DIFFERENT turn in the same
+    // bucket: the rewrite must not bring the deleted turn back
+    val rows = all.limit(50).collect()
+    val delRow = rows.head
+    val updRow = rows.find(r => r.conv_id == delRow.conv_id &&
+      r.turn_idx != delRow.turn_idx).getOrElse(rows(1))
+    table.deleteRowsMor(spark,
+      Seq((delRow.conv_id, delRow.turn_idx)).toDF("conv_id", "turn_idx"), "mor-m")
+    table.merge(spark,
+      Seq(updRow.copy(text = "corrected")).toDS(), "fix-1")
+    val now = table.read(spark)
+    assert(now.where(col("conv_id") === delRow.conv_id &&
+      col("turn_idx") === delRow.turn_idx).count() == 0) // still deleted
+    assert(now.where(col("conv_id") === updRow.conv_id &&
+      col("turn_idx") === updRow.turn_idx && col("text") === "corrected")
+      .count() == 1)
+  }
+
+  test("V2 connector refuses a snapshot with pending MOR deletes, reads " +
+    "fine after compact; snapshot-delta stream stops on a MOR delete") {
+    import testImplicits._
+    val (dir, table) = freshTable()
+    val all = table.read(spark)
+    val victim = all.select("conv_id").as[String].head()
+    val preSnap = table.currentSnapshotId.get
+    table.deleteRowsMor(spark,
+      all.where(col("conv_id") === victim).select("conv_id", "turn_idx"), "mor-v")
+    val err = intercept[Exception] {
+      spark.read.format("graft-snapshot").load(dir).count()
+    }
+    assert(err.getMessage.contains("merge-on-read"), err.getMessage)
+    // time travel to the pre-delete snapshot is still V2-servable
+    assert(spark.read.format("graft-snapshot")
+      .option("snapshotId", preSnap.toString).load(dir).count() == all.count())
+    table.compact(spark, "fold-v")
+    assert(spark.read.format("graft-snapshot").load(dir).count() ==
+      all.count() - all.where(col("conv_id") === victim).count())
+  }
+
+  test("readChanges across a MOR delete: append-only guard trips; " +
+    "allowReplaced redelivers the bucket's full new logical content") {
+    import testImplicits._
+    val (_, table) = freshTable()
+    val s0 = table.currentSnapshotId.get
+    val all = table.read(spark)
+    val victim = all.select("conv_id").as[String].head()
+    val bucket = table.bucketOfId(victim)
+    val s1 = table.deleteRowsMor(spark,
+      all.where(col("conv_id") === victim).select("conv_id", "turn_idx"),
+      "mor-rc").get
+    val e = intercept[IllegalStateException](table.readChanges(spark, s0, s1))
+    assert(e.getMessage.contains("MOR-deleted"), e.getMessage)
+    val delta = table.readChanges(spark, s0, s1, allowReplaced = true)
+    // the delta is exactly the touched bucket's post-delete logical rows
+    assert(delta.where(col("conv_id") === victim).count() == 0)
+    val expected = table.read(spark)
+      .withColumn("b", table.bucketOf).where(col("b") === bucket).count()
+    assert(delta.count() == expected)
+  }
+}

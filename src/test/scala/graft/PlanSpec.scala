@@ -601,6 +601,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("Window"), p)
   }
 
+  test("tool-loop detection: window-free single conv-keyed exchange; the " +
+    "tool-turn filter lands below the shuffle (only ~1/3 of rows cross)") {
+    val df = SparkEntry.queries("q_tool_loops")(spark, sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    // filter is below the exchange: the Scan/Filter section after the
+    // exchange marker must contain the role predicate
+    val ix = p.indexOf("Exchange hashpartitioning")
+    assert(p.substring(ix).contains("pmod"), p.substring(ix).take(400))
+  }
+
   test("conversation validation: turn-numbering window and the per-conv " +
     "aggregate SHARE one conv-keyed exchange (no re-shuffle), and no " +
     "distinct-aggregate Expand doubles the exchange bytes") {
