@@ -288,8 +288,50 @@ final class SnapshotV2Table(dir: String, snapshotId: Long,
     * Anything unprovable is declined — Spark then runs the same DELETE as
     * a copy-on-write group rewrite ([[SnapshotRowLevelOperation]]), so
     * declining costs correctness nothing, only IO. */
+  /** `SET spark.graft.delete.mode = merge-on-read` routes SQL DELETEs
+    * whose predicate the translator below can express to
+    * [[SnapshotTable.deleteWhereMor]] (keys only, no bucket rewrite) —
+    * the Iceberg `write.delete.mode = merge-on-read` analog. The cheaper
+    * lanes still win first: conv-id key sets and fully-covered ts ranges
+    * stay metadata-only in every mode; untranslatable predicates fall
+    * back to the group-based copy-on-write row-level operation. */
+  private def morDeleteEnabled: Boolean =
+    SparkSession.active.conf
+      .getOption("spark.graft.delete.mode").map(_.trim.toLowerCase)
+      .exists(m => m == "merge-on-read" || m == "mor")
+
+  /** V1 Filter → Column for the MOR delete lane; None on any node the
+    * subset doesn't cover (conservative — COW handles the rest). */
+  private def filterColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case EqualTo(a, v)            => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v)        => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v)           => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+      case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a)                => Some(col(a).isNull)
+      case IsNotNull(a)             => Some(col(a).isNotNull)
+      case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+      case StringContains(a, v)     => Some(col(a).contains(v))
+      case And(l, r) => for { a <- filterColumn(l); b <- filterColumn(r) } yield a && b
+      case Or(l, r)  => for { a <- filterColumn(l); b <- filterColumn(r) } yield a || b
+      case Not(c)    => filterColumn(c).map(!_)
+      case _         => None
+    }
+  }
+
+  private def morDeleteColumn(filters: Array[Filter]): Option[org.apache.spark.sql.Column] =
+    if (!morDeleteEnabled || filters.isEmpty) None
+    else filters.toSeq.map(filterColumn).reduce((a, b) =>
+      for { x <- a; y <- b } yield x && y)
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    convDeleteSets(filters).isDefined || tsDeleteCoverage(filters).isDefined
+    convDeleteSets(filters).isDefined || tsDeleteCoverage(filters).isDefined ||
+      morDeleteColumn(filters).isDefined
 
   private def convDeleteSets(filters: Array[Filter]): Option[Seq[Set[String]]] = {
     val sets = filters.toSeq.map {
@@ -370,13 +412,23 @@ final class SnapshotV2Table(dir: String, snapshotId: Long,
         // ts-retention metadata path (canDeleteWhere proved coverage; the
         // manifest may have moved since — a coverage recheck keeps the
         // proof and the commit on the same snapshot)
-        val covered = tsDeleteCoverage(filters).getOrElse(throw new IllegalStateException(
-          "graft-snapshot: ts-range delete coverage no longer provable — " +
-            "the manifest changed between planning and execution; retry"))
-        if (covered.isEmpty) return // nothing in range: no-op
-        table.commitEntries(spark, Seq.empty, replaceBuckets = false,
-          dropPaths = covered.map(_.path).toSet)
-        ()
+        tsDeleteCoverage(filters) match {
+          case Some(covered) =>
+            if (covered.isEmpty) return // nothing in range: no-op
+            table.commitEntries(spark, Seq.empty, replaceBuckets = false,
+              dropPaths = covered.map(_.path).toSet)
+            ()
+          case None =>
+            // merge-on-read lane (opted in by spark.graft.delete.mode)
+            val cond = morDeleteColumn(filters).getOrElse(
+              throw new IllegalStateException(
+                "graft-snapshot: delete predicate no longer provable — " +
+                  "the manifest changed between planning and execution; retry"))
+            val runId = s"delete-mor-$snapshotId-" +
+              math.abs(filters.map(_.toString).mkString(";").hashCode)
+            table.deleteWhereMor(spark, cond, runId)
+            ()
+        }
     }
   }
 

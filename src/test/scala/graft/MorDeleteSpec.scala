@@ -135,6 +135,43 @@ class MorDeleteSpec extends AnyFunSuite with SparkTestBase {
       all.count() - all.where(col("conv_id") === victim).count())
   }
 
+  test("SQL DELETE routes merge-on-read under spark.graft.delete.mode; " +
+    "default mode still rewrites (COW); key/ts lanes unaffected") {
+    import testImplicits._
+    val (dir, table) = freshTable()
+    val pre = table.committedEntries(spark).map(_.path).toSet
+    val victimTool = table.read(spark).select("tool").as[String].head()
+    val n = table.read(spark).where(col("tool") === victimTool).count()
+    assert(n > 0)
+
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft", "graft.connector.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse",
+      Paths.get(dir).getParent.toString)
+    val tname = Paths.get(dir).getFileName.toString
+    s.conf.set("spark.graft.delete.mode", "merge-on-read")
+    s.sql(s"DELETE FROM graft.`$tname` WHERE tool = '$victimTool'")
+
+    // keys-only commit: every pre-delete data path still referenced,
+    // a kind=delete entry appeared, logical rows gone
+    val entries = table.committedEntries(spark)
+    assert(pre.subsetOf(entries.filter(_.kind == "data").map(_.path).toSet))
+    assert(entries.exists(_.kind == "delete"))
+    assert(table.read(spark).where(col("tool") === victimTool).count() == 0)
+
+    // default mode: same predicate on a fresh table takes the COW lane
+    // (bucket rewrite — no delete entries in the manifest)
+    val (dir2, table2) = freshTable()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.connector.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.warehouse",
+      Paths.get(dir2).getParent.toString)
+    val tname2 = Paths.get(dir2).getFileName.toString
+    s2.sql(s"DELETE FROM graft.`$tname2` WHERE tool = '$victimTool'")
+    assert(table2.committedEntries(spark).forall(_.kind == "data"))
+    assert(table2.read(spark).where(col("tool") === victimTool).count() == 0)
+  }
+
   test("readChanges across a MOR delete: append-only guard trips; " +
     "allowReplaced redelivers the bucket's full new logical content") {
     import testImplicits._
