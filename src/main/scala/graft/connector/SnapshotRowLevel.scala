@@ -181,6 +181,15 @@ final class SnapshotCowScan(dir: String, entries: Seq[ManifestEntry],
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // MOR gate at EXECUTION time (analysis builds this scan eagerly for
+    // every DELETE, even ones the metadata/MOR deleteWhere lane takes):
+    // a COW rewrite over buckets with pending merge-on-read deletes
+    // would re-materialize the deleted rows
+    if (entries.exists(_.kind == "delete"))
+      throw new IllegalStateException(
+        s"$dir has pending merge-on-read deletes — cannot run a " +
+          "copy-on-write row-level operation over them; fold them first " +
+          "(SnapshotTable.compact / CALL graft.system.compact)")
     val kept = keptEntries
     scannedBuckets = kept.map(_.bucket).toSet
     SnapshotRead.pack(spark, SnapshotRead.listFiles(spark, kept))

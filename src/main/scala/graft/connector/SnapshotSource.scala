@@ -245,21 +245,35 @@ final class SnapshotV2Table(dir: String, snapshotId: Long,
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   // MERGE-ON-READ gate: the V2 scan maps file-sets straight onto Spark's
-  // parquet reader and cannot apply pending delete key-sets — serving the
-  // table anyway would silently resurrect MOR-deleted rows, and a COW
-  // row-level op built on such a scan would re-materialize them. Refuse
-  // loudly instead (the Iceberg format-version posture: a reader below
-  // the table's capability must not guess).
-  require(!entries.exists(_.kind == "delete"),
-    s"snapshot $snapshotId of $dir has pending merge-on-read deletes; " +
-      "fold them first (SnapshotTable.compact / CALL graft.system.compact) " +
-      "or read through the library API (SnapshotTable.read applies them)")
+  // parquet reader and cannot apply pending delete key-sets — serving a
+  // scan anyway would silently resurrect MOR-deleted rows; a COW
+  // row-level op built on such a scan would re-materialize them; and an
+  // APPEND that re-inserts a deleted key would be killed by the pending
+  // key on read (this table has no Iceberg sequence numbers — deletes
+  // apply to everything). Refuse at every scan/write surface (the
+  // Iceberg format-version posture: a reader below the table's
+  // capability must not guess) — but NOT at table resolution, so the
+  // metadata-only faces keep working: repeated SQL MOR deletes
+  // (SupportsDelete.deleteWhere never scans), CALL procedures,
+  // metadata tables.
+  private def morGate(surface: String): Unit =
+    if (entries.exists(_.kind == "delete"))
+      throw new IllegalStateException(
+        s"snapshot $snapshotId of $dir has pending merge-on-read deletes — " +
+          s"cannot $surface; fold them first (SnapshotTable.compact / " +
+          "CALL graft.system.compact) or go through the library API " +
+          "(SnapshotTable.read applies them)")
 
   /** SQL `UPDATE` / `MERGE INTO` / non-key `DELETE`: group-based
     * copy-on-write over buckets ([[SnapshotRowLevelOperation]]).
     * Key-only deletes still collapse to the metadata path below —
     * Spark's OptimizeMetadataOnlyDeleteFromTable prefers `deleteWhere`
     * whenever [[canDeleteWhere]] accepts the whole condition. */
+  // NOTE: no morGate here — Spark's RewriteDeleteFromTable builds the
+  // row-level operation EAGERLY during analysis for every DELETE, before
+  // OptimizeMetadataOnlyDeleteFromTable can swap in the metadata/MOR
+  // deleteWhere lane; the gate fires at COW scan EXECUTION instead
+  // (SnapshotCowScan.planInputPartitions)
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo): org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => new SnapshotRowLevelOperation(dir, entries, numBuckets, schema(),
@@ -462,11 +476,15 @@ final class SnapshotV2Table(dir: String, snapshotId: Long,
   override def partitioning(): Array[Transform] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(numBuckets, "conv_id"))
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    morGate("scan")
     new SnapshotScanBuilder(dir, entries, schema(), numBuckets, options)
+  }
 
-  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder = {
+    morGate("append (a re-inserted key would be re-killed by the pending delete)")
     new SnapshotWriteBuilder(dir, numBuckets, info)
+  }
 }
 
 final class SnapshotScanBuilder(dir: String, entries: Seq[ManifestEntry],

@@ -620,9 +620,13 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     * file-sets (the read-tax amortization point, as in Iceberg). Time
     * travel to the pre-delete snapshot still sees the rows (the data
     * files are untouched by construction). Keys that match nothing are
-    * inert. The V2 connector refuses to read a snapshot with pending MOR
-    * deletes (compact first, or read through the library) rather than
-    * silently resurrecting rows — the Iceberg format-version posture.
+    * inert. The V2 connector refuses to scan/append a snapshot with
+    * pending MOR deletes (compact first, or read through the library)
+    * rather than silently resurrecting rows — the Iceberg format-version
+    * posture. LIMITATION (no sequence numbers): a pending delete key
+    * applies to EVERY file-set of its bucket, so re-inserting a deleted
+    * key before the next compact re-deletes the new row too — compact
+    * before re-ingesting keys you previously MOR-deleted.
     *
     * @param keys distinct delete keys; extra columns are ignored.
     * @return the new snapshot id (None if `keys` touches no committed

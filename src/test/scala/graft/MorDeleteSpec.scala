@@ -159,6 +159,21 @@ class MorDeleteSpec extends AnyFunSuite with SparkTestBase {
     assert(entries.exists(_.kind == "delete"))
     assert(table.read(spark).where(col("tool") === victimTool).count() == 0)
 
+    // a SECOND MOR delete with deletes already pending must still work
+    // (SupportsDelete.deleteWhere never scans — the MOR gate guards
+    // scan/write surfaces, not table resolution)
+    val secondTool = table.read(spark).select("tool").as[String].head()
+    s.sql(s"DELETE FROM graft.`$tname` WHERE tool = '$secondTool'")
+    assert(table.read(spark).where(col("tool") === secondTool).count() == 0)
+    // …while a V2 append is refused (a re-inserted key would be re-killed
+    // by the pending delete — no sequence numbers in this format)
+    val werr = intercept[Exception] {
+      Seq(("cX", 0, "late")).toDF("conv_id", "turn_idx", "text")
+        .write.format("graft-snapshot").mode("append")
+        .option("runId", "late-1").save(dir)
+    }
+    assert(werr.getMessage.contains("merge-on-read"), werr.getMessage)
+
     // default mode: same predicate on a fresh table takes the COW lane
     // (bucket rewrite — no delete entries in the manifest)
     val (dir2, table2) = freshTable()
