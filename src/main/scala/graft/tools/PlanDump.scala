@@ -28,7 +28,8 @@ object PlanDump {
       "q_curate_e2e", "q_bpe_train", "q_bpe_apply", "q_hard_negatives",
       "q_c4_rules", "q_domain_rank", "q_embed_meanpool", "q_sft_pairs",
       "q_dpo_pairs", "q_anomaly_mad", "q_conv_budget", "q_rank_fusion",
-      "q_ndcg_eval", "q_containment", "q_cluster_purity")
+      "q_ndcg_eval", "q_containment", "q_cluster_purity",
+      "q_conv_valid", "q_tool_loops")
     val sb = new StringBuilder
     sb.append("# BENCH/PLANS — formatted physical plans (auto-written by graft.tools.PlanDump)\n\n")
     sb.append("Source of truth for these shapes is `PlanSpec` (asserted in CI);\n")
