@@ -1507,14 +1507,17 @@ object SparkEntry {
       // codes (4 bytes/vector, 64× smaller than float32). The encode is an
       // equi-join of the narrow (vec_id, m, sv) subvector rows against the
       // BROADCAST 128-row codebook + one partial-agg'd argmin — no window,
-      // no shuffle wider than the groupBy on (vec_id, m).
+      // no shuffle wider than the groupBy on (vec_id, m). Codes emit as a
+      // comma-joined string (scalar) — the oracle comparator sorts/hashes
+      // cells and cannot handle array cells.
       VF.register(s)
       val qz = ivfQuantized(t(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
       val books = pqTrainCodebooks(s, qz)
       pqCodes(pqSubvectors(qz, "vec_id"), books, "vec_id")
         .groupBy(col("vec_id"))
-        .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
-          x => x.getField("code")).as("codes"))
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("m"), col("code")))),
+            x => x.getField("code").cast("string"))).as("codes"))
     }),
 
     "q_knn_pq" -> ((s, dir) => {
@@ -2847,7 +2850,10 @@ object SparkEntry {
         .groupBy(col("gid"))
         .agg(pool(col("sc")).as("sums"), count(lit(1)).as("n_chunks"))
         .select(col("gid"), col("n_chunks"),
-          expr("transform(sums, x -> x div n_chunks)").as("pooled_micro"))
+          // Scalarized (comma-joined) for the oracle comparator, which
+          // sorts/hashes cells and cannot handle array cells.
+          expr("array_join(transform(sums, x -> cast(x div n_chunks AS STRING)), ',')")
+            .as("pooled_micro"))
     }),
 
     "q_anomaly_mad" -> ((s, dir) => {
@@ -3571,7 +3577,7 @@ object SparkEntry {
     }.mkString
     base + iters +
       """
-         SELECT r4.h AS host, r4.r AS rank_u,
+         SELECT r4.h AS host, r4.r::BIGINT AS rank_u,
            coalesce(od.outdeg, 0)::BIGINT AS outdeg
          FROM r4 LEFT JOIN od ON r4.h = od.src"""
   }
@@ -4067,7 +4073,8 @@ object SparkEntry {
 
     "q_pq_encode" ->
       s"""WITH $oQzCtes, $oPqCtes
-          SELECT vec_id, list(code ORDER BY m) AS codes FROM pqcodes GROUP BY vec_id""",
+          SELECT vec_id, string_agg(code::VARCHAR, ',' ORDER BY m) AS codes
+          FROM pqcodes GROUP BY vec_id""",
 
     "q_knn_pq" ->
       s"""WITH $oIvfCtes, $oPqCtes,
@@ -4729,7 +4736,7 @@ object SparkEntry {
          g AS (SELECT gid, i, sum(v)::BIGINT AS s FROM u GROUP BY gid, i),
          c AS (SELECT gid, count(*)::BIGINT AS n_chunks FROM x GROUP BY gid)
          SELECT g.gid, c.n_chunks,
-           list(s // n_chunks ORDER BY i) AS pooled_micro
+           string_agg((s // n_chunks)::VARCHAR, ',' ORDER BY i) AS pooled_micro
          FROM g JOIN c USING (gid) GROUP BY g.gid, c.n_chunks""",
 
     "q_anomaly_mad" ->

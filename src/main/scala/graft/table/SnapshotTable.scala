@@ -643,15 +643,20 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
       .distinct()
       .withColumn("bucket", bucketOf)
       .filter(col("bucket").isin(live.toSeq: _*)) // keys to nowhere are inert
+    // Count per bucket BEFORE writing: a zero-match delete must be an
+    // inert no-op, but an empty partitionBy write leaves only _SUCCESS and
+    // the read-back would throw UNABLE_TO_INFER_SCHEMA. `k` is
+    // deterministic (distinct over the caller's keys), so the counted set
+    // is the written set.
+    import spark.implicits._
+    val counts = k.groupBy(col("bucket")).count()
+      .as[(Int, Long)].collect().sortBy(_._1)
+    if (counts.isEmpty) return None
     // DATA FIRST (same crash posture as every commit: unreferenced until
-    // the manifest lands); counts observed in the same job
+    // the manifest lands)
     k.repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("conv_id"), col("turn_idx"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dataPath)
-    import spark.implicits._
-    val counts = spark.read.parquet(dataPath)
-      .groupBy(col("bucket")).count().as[(Int, Long)].collect().sortBy(_._1)
-    if (counts.isEmpty) return None
     val keyDdl = "struct<conv_id:string,turn_idx:int>"
     val entries = counts.toSeq.map { case (b, n) =>
       BucketEntry(b, s"$dataPath/bucket=$b", runId, n, 0L, 0L, 0L,
@@ -773,11 +778,14 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     val ids = snapshotIds
     // tagged snapshots are pinned (the [[tag]] retention contract);
     // staged WAP snapshots are live audits (always newest, but explicit);
-    // branch HEADS are live refs (manifests are self-contained, so the
-    // head alone keeps a branch readable — its older commits age off
-    // with the rest of the history, per-branch retention as in Iceberg)
+    // branch snapshots keep their whole parent CHAIN, not just the head:
+    // manifests are self-contained for READS, but fastForward and
+    // branchReachableIds walk parentOf through the intermediate manifest
+    // files — expiring a multi-commit branch's intermediates would make a
+    // still-legitimate fast-forward permanently refuse with "CURRENT is
+    // not an ancestor". Bounded by the branch's commit count (small).
     val keep = ids.takeRight(keepLast).toSet ++ currentSnapshotId ++
-      tags.values ++ stagedIds ++ branches.values
+      tags.values ++ stagedIds ++ branchReachableIds
     val expired = ids.filterNot(keep)
     if (expired.isEmpty) return Seq.empty
     val keptPaths = keep.toSeq.flatMap(entriesAt(spark, _)).map(_.path).toSet
@@ -948,6 +956,18 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
           "live snapshot and replay the branch's changes.")
     val tmpC = Paths.get(dir, "CURRENT.tmp")
     Files.writeString(tmpC, head.toString)
+    // CAS re-check (same posture as the branch swing in commitEntries): a
+    // main-line commit that landed between the ancestry check above and
+    // this pointer move would be silently rewound off the main line — and
+    // its manifest later deleted by removeOrphanManifests (id > CURRENT,
+    // not branch-reachable). Refuse instead; the caller re-reads and
+    // retries against the new CURRENT.
+    if (currentSnapshotId.getOrElse(-1L) != cur) {
+      Files.deleteIfExists(tmpC)
+      throw new SnapshotTable.CommitConflictException(
+        s"CURRENT moved while fast-forwarding $dir to branch '$name' " +
+          s"(ancestry was checked against $cur) — re-read and retry")
+    }
     Files.move(tmpC, currentFile,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     head
@@ -1108,14 +1128,24 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
           "of affected buckets (at-least-once delta) instead.")
     // buckets that gained delete keys must be redelivered as their FULL
     // new logical content (data minus deletes at `to`); everything else
-    // is the plain added-data delta
+    // is the plain added-data delta — with one more wrinkle: with no
+    // sequence numbers, a delete key committed BEFORE `from` still applies
+    // to data files appended AFTER it (it kills its key in EVERY file-set
+    // of the bucket), so added data landing in a bucket with OLDER pending
+    // deletes must have those keys anti-joined out, or the delta
+    // over-delivers rows that are logically deleted at `to`.
     val morBuckets = addedDel.map(_.bucket).toSet
     val rest = addedData.filterNot(e => morBuckets(e.bucket))
+    val oldDel = toEntries.filter(e =>
+      e.kind == "delete" && !morBuckets(e.bucket) &&
+        rest.exists(_.bucket == e.bucket))
     val parts = Seq(
       if (morBuckets.nonEmpty)
         Some(logicalRead(spark, toEntries.filter(e => morBuckets(e.bucket))))
       else None,
-      if (rest.nonEmpty) Some(dataRead(spark, rest)) else None).flatten
+      if (rest.nonEmpty)
+        Some(applyDeletes(spark, dataRead(spark, rest), oldDel))
+      else None).flatten
     if (parts.isEmpty) readAt(spark, toSnapshotId).limit(0) // empty, full schema
     else parts.reduce(_ unionByName _)
   }

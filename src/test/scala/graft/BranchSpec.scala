@@ -128,6 +128,29 @@ class BranchSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](table.readBranch(spark, "exp"))
   }
 
+  test("expireSnapshots keeps branch-reachable intermediates: a " +
+    "multi-commit branch still fast-forwards after keepLast=1") {
+    val dir = Files.createTempDirectory("branch").toString
+    val table = new SnapshotTable(dir, numBuckets = 4)
+    val all = mkTurns(16)
+    table.commit(spark,
+      ExtractPipeline.extract(spark, half(all, lo = true)), "base").get
+    table.createBranch("ff")
+    table.commit(spark,
+      ExtractPipeline.extract(spark, half(all, lo = false).limit(20)),
+      "ff-1", replaceBuckets = false, toBranch = Some("ff")).get
+    val b2 = table.commit(spark,
+      ExtractPipeline.extract(spark, half(all, lo = false).limit(40)),
+      "ff-2", replaceBuckets = false, toBranch = Some("ff")).get
+    val headRows = table.readBranch(spark, "ff").count()
+    // keepLast=1 must NOT break the branch's parentOf chain: fastForward
+    // walks b2 -> b1 -> CURRENT through the intermediate manifest files,
+    // so expiring b1 would make a legitimate fast-forward refuse forever
+    table.expireSnapshots(spark, keepLast = 1)
+    assert(table.fastForward("ff") == b2)
+    assert(table.read(spark).count() == headRows)
+  }
+
   test("SQL/connector faces: CALL create_branch, V2 append with " +
     "option(branch), read by branch, t$branches metadata, CALL fast_forward") {
     import testImplicits._

@@ -187,6 +187,55 @@ class MorDeleteSpec extends AnyFunSuite with SparkTestBase {
     assert(table2.read(spark).where(col("tool") === victimTool).count() == 0)
   }
 
+  test("zero-match MOR delete is an inert no-op: None, no new snapshot, " +
+    "no crash on the empty key set") {
+    val (_, table) = freshTable()
+    val pre = table.currentSnapshotId.get
+    val n = table.read(spark).count()
+    // predicate matching nothing -> empty key set; the data-first write
+    // of an EMPTY partitionBy frame leaves only _SUCCESS, so the
+    // pre-count short-circuit is what keeps this from throwing
+    // UNABLE_TO_INFER_SCHEMA on the count read-back
+    assert(table.deleteWhereMor(spark,
+      col("conv_id") === "no-such-conversation", "mor-zero").isEmpty)
+    assert(table.currentSnapshotId.get == pre)
+    assert(table.read(spark).count() == n)
+  }
+
+  test("readChanges: data appended AFTER an older MOR delete has that " +
+    "delete's keys applied — the delta never over-delivers logically " +
+    "deleted rows") {
+    import testImplicits._
+    val (_, table) = freshTable()
+    val all = table.read(spark)
+    val victim = all.select("conv_id").as[String].head()
+    val s1 = table.deleteRowsMor(spark,
+      all.where(col("conv_id") === victim).select("conv_id", "turn_idx"),
+      "mor-old").get
+    // append: re-insert the victim's rows plus genuinely fresh
+    // conversations (conv ids are seed-independent conv%06d, so idx >= 12
+    // is disjoint from the 12-conv base corpus)
+    val wide = TranscriptGen.dataset(spark, 11L, 16, hotBase = 30, partitions = 2)
+    val idx = substring(col("conv_id"), 5, 6).cast("int")
+    val appended = ExtractPipeline.extract(spark,
+      wide.where(idx >= 12 || col("conv_id") === victim)
+        .as[graft.model.Turn])
+    val nAppended = appended.count()
+    val nVictimAppended = appended.where(col("conv_id") === victim).count()
+    assert(nVictimAppended > 0) // the re-insert actually happened
+    val s2 = table.commit(spark, appended, "append-after-del",
+      replaceBuckets = false).get
+    // no NEW deletes and no rewrites between s1 and s2 -> strict
+    // append-only path is legal; with no sequence numbers the OLD delete
+    // keys still kill their key in the appended file-sets
+    val delta = table.readChanges(spark, s1, s2)
+    assert(delta.where(col("conv_id") === victim).count() == 0)
+    assert(delta.count() == nAppended - nVictimAppended)
+    // the logical table agrees (documented re-delete-before-compact
+    // semantics): the re-inserted rows are dead until a compact
+    assert(table.read(spark).where(col("conv_id") === victim).count() == 0)
+  }
+
   test("readChanges across a MOR delete: append-only guard trips; " +
     "allowReplaced redelivers the bucket's full new logical content") {
     import testImplicits._

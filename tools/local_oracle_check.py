@@ -53,6 +53,9 @@ def main():
             res = con.execute(sql)
             o_cols = [d[0] for d in res.description]
             o_rows = res.fetchall()
+            # second execution for the pandas-materialized frame the
+            # driver actually compares (dtype simulation below)
+            res_df = con.execute(sql).df()
         except Exception as e:
             print(f"{name}: ORACLE ERROR {e}")
             fails.append(name)
@@ -60,8 +63,37 @@ def main():
         ok_rows = len(s_rows) == len(o_rows)
         ok_schema = sorted(s_cols) == sorted(o_cols)
         ok_hash = ok_schema and table_hash(s_cols, s_rows) == table_hash(o_cols, o_rows)
-        status = "OK" if (ok_rows and ok_schema and ok_hash) else "FAIL"
-        print(f"{name}: {status} rows={len(s_rows)}/{len(o_rows)} schema={ok_schema} hash={ok_hash}")
+        # Driver-comparator simulation: the driver loads both sides into
+        # pandas and sort_values() the whole frame. Two failure classes the
+        # value-level hash above cannot see:
+        #  (a) array/ndarray cells -> pandas Categorical crash (unhashable)
+        #  (b) dtype drift: DuckDB HUGEINT (un-cast sum over BIGINT)
+        #      materializes as float64/object while Spark emits int64 ->
+        #      canon() strings diverge ("5.0e+10" vs "50000000000").
+        dtype_warn = []
+        try:
+            import pandas as _pd, numpy as _np
+            sdf = st.to_pandas()
+            odf = res_df if res_df is not None else None
+            for df, side in ((sdf, "spark"), (odf, "oracle")):
+                if df is None:
+                    continue
+                for c in df.columns:
+                    if df[c].dtype == object and len(df) and isinstance(
+                            df[c].iloc[0], _np.ndarray):
+                        dtype_warn.append(f"{side}.{c}=ndarray(DRIVER CRASH)")
+            if odf is not None:
+                for c in set(sdf.columns) & set(odf.columns):
+                    sk, ok_ = sdf[c].dtype.kind, odf[c].dtype.kind
+                    if {sk, ok_} == {"i", "f"} or (sk == "i" and ok_ == "O") \
+                            or (sk == "O" and ok_ == "i"):
+                        dtype_warn.append(
+                            f"{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
+        except Exception as e:  # never let the simulation mask the result
+            dtype_warn.append(f"simulation-error:{e}")
+        status = "OK" if (ok_rows and ok_schema and ok_hash and not dtype_warn) else "FAIL"
+        print(f"{name}: {status} rows={len(s_rows)}/{len(o_rows)} schema={ok_schema} hash={ok_hash}"
+              + (f" DTYPE={dtype_warn}" if dtype_warn else ""))
         if status == "FAIL":
             fails.append(name)
     print("FAILURES:", fails if fails else "none")
