@@ -119,18 +119,35 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     new SnapshotV2Table(dir, -1L, Seq.empty, nb, Some(schema))
   }
 
-  /** ADDITIVE schema evolution only: `ALTER TABLE … ADD COLUMNS (c T, …)`
-    * appends nullable columns. The evolved schema lands in TABLE_META;
-    * existing file-sets stay byte-untouched and read back null-filled
-    * under the widest schema ([[SnapshotV2Table.schema]]); new commits may
-    * write either shape (the commit guard accepts exact field-prefix
-    * relations and nothing else). Renames / drops / type changes are
-    * rejected — at 100 TB those are a rewrite, and pretending otherwise
-    * corrupts readers. */
+  /** METADATA-ONLY schema evolution — `ADD COLUMNS`, `RENAME COLUMN`,
+    * `DROP COLUMN` — via the field-id column mapping (the Iceberg
+    * field-id / Delta column-mapping analog, [[ColumnMapEntry]]):
+    *
+    *  - ADD appends a nullable column; its PHYSICAL name is frozen at
+    *    creation (de-collided against every name ever used, so re-adding
+    *    a dropped column's name cannot resurrect old bytes);
+    *  - RENAME edits only the logical name in the mapping;
+    *  - DROP flips the mapping entry's `dropped` flag.
+    *
+    * No data file is touched by any of them — at 10^12 turns that is the
+    * only acceptable cost. Old snapshots keep reading correctly: the scan
+    * resolves parquet columns by physical name and surfaces logical names
+    * ([[SnapshotTableMeta.toPhysical]]/[[SnapshotTableMeta.toLogical]]).
+    * Type changes are still rejected (a widening read is engine-specific;
+    * migrate by rewrite). The table key (`conv_id`, `turn_idx`) and the
+    * stats column `ts` are immutable — bucketing, manifest pruning and
+    * the write distribution contract name them. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val immutable = Set("conv_id", "turn_idx", "ts")
     val fields = scala.collection.mutable.ArrayBuffer.from(loadTable(ident).schema().fields)
+    // existing mapping, or the identity mapping synthesized from the
+    // current logical schema (first ALTER on a pre-mapping table)
+    var mapping: Vector[ColumnMapEntry] =
+      SnapshotTableMeta.mapping(dir).map(_.toVector).getOrElse(
+        fields.zipWithIndex.map { case (f, i) =>
+          ColumnMapEntry(i + 1, f.name, f.name) }.toVector)
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -141,14 +158,61 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
           "graft-snapshot evolution: added columns must be nullable (old files have no values)")
         val n = add.fieldNames()(0)
         require(!fields.exists(_.name.equalsIgnoreCase(n)), s"column $n already exists")
+        val id = mapping.map(_.id).maxOption.getOrElse(0) + 1
+        // physical de-collision: a dropped column's bytes still sit in old
+        // files under its phys name — a re-added logical twin gets a fresh
+        // physical identity instead of inheriting them
+        val phys =
+          if (mapping.exists(_.phys.equalsIgnoreCase(n))) s"${n}_$id" else n
+        mapping :+= ColumnMapEntry(id, n, phys)
         fields += org.apache.spark.sql.types.StructField(n, add.dataType(), nullable = true)
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1,
+          "graft-snapshot evolution: nested column renames are unsupported")
+        val from = rn.fieldNames()(0)
+        val to = rn.newName()
+        require(!immutable.contains(from.toLowerCase),
+          s"cannot rename $from: the table key (conv_id, turn_idx) and the " +
+            "stats column ts anchor bucketing, pruning and write distribution")
+        require(!fields.exists(_.name.equalsIgnoreCase(to)), s"column $to already exists")
+        val i = fields.indexWhere(_.name.equalsIgnoreCase(from))
+        require(i >= 0, s"no such column $from")
+        fields(i) = fields(i).copy(name = to)
+        val mi = mapping.indexWhere(m => !m.dropped && m.name.equalsIgnoreCase(from))
+        require(mi >= 0, s"column $from missing from the mapping (corrupt TABLE_META?)")
+        mapping = mapping.updated(mi, mapping(mi).copy(name = to))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "graft-snapshot evolution: nested column drops are unsupported")
+        val n = del.fieldNames()(0)
+        require(!immutable.contains(n.toLowerCase),
+          s"cannot drop $n: the table key (conv_id, turn_idx) and the " +
+            "stats column ts anchor bucketing, pruning and write distribution")
+        val i = fields.indexWhere(_.name.equalsIgnoreCase(n))
+        require(i >= 0 || del.ifExists(), s"no such column $n")
+        if (i >= 0) {
+          fields.remove(i)
+          val mi = mapping.indexWhere(m => !m.dropped && m.name.equalsIgnoreCase(n))
+          if (mi >= 0) mapping = mapping.updated(mi, mapping(mi).copy(dropped = true))
+        }
       case other => throw new UnsupportedOperationException(
-        s"graft-snapshot supports only additive evolution (ADD COLUMNS); got $other. " +
+        s"graft-snapshot supports metadata-only evolution (ADD COLUMNS, " +
+          s"RENAME COLUMN, DROP COLUMN); got $other. " +
           "Migrate by compacting after a rewrite.")
     }
+    require(fields.nonEmpty, "cannot drop every column")
     val nb = SnapshotTableMeta.read(dir).map(_._2)
       .getOrElse(graft.table.SnapshotTable.open(dir).numBuckets)
-    SnapshotTableMeta.write(dir, StructType(fields.toSeq).catalogString, nb)
+    // Persist the mapping only once it diverges from identity (a rename,
+    // drop, or de-collided phys name exists). ADD-only evolution keeps the
+    // original no-mapping behavior BIT-IDENTICAL — including time travel
+    // surfacing each snapshot's own (pre-evolution) schema; mapped tables
+    // deliberately surface the current logical schema everywhere instead.
+    val mappingOpt = SnapshotTableMeta.mapping(dir).map(_ => mapping)
+      .orElse(if (mapping.exists(m => m.dropped || m.name != m.phys))
+        Some(mapping) else None)
+    SnapshotTableMeta.write(dir, StructType(fields.toSeq).catalogString, nb,
+      mappingOpt)
     loadTable(ident)
   }
 

@@ -17,6 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.system.expire_snapshots('turns', 3)
   *   CALL graft.system.remove_orphan_files('turns', 86400000)
   *   CALL graft.system.compact('turns', 'nightly-7')
+  *   CALL graft.system.rewrite_deletes('turns', 'maint-1', 10)
   *   CALL graft.system.publish_staged('turns', 12)
   *   CALL graft.system.restore('turns', 9)
   * }}}
@@ -69,13 +70,27 @@ object GraftProcedures {
             else {
               // generic tables (including evolved schemas): fold every
               // file-set through the V2 overwrite — same clustering + sort
-              // invariants via RequiresDistributionAndOrdering
-              df.write.format("graft-snapshot").mode("overwrite")
+              // invariants via RequiresDistributionAndOrdering. Read
+              // through the CONNECTOR, not the library: a column-mapped
+              // table must compact its LOGICAL shape (renames applied,
+              // dropped physical columns folded away), and the V2 write
+              // translates back to physical names.
+              spark.read.format("graft-snapshot").load(table.dir)
+                .write.format("graft-snapshot").mode("overwrite")
                 .option("runId", rid).save(table.dir)
               table.currentSnapshotId.getOrElse(sys.error("compact published no snapshot"))
             }
           snapRow(id)
         })
+      case "rewrite_deletes" => GraftProcedure("rewrite_deletes",
+        // delete-ratio-triggered MOR maintenance: rewrite only buckets
+        // whose pending delete keys ≥ min_ratio_pct% of their data rows
+        // (see SnapshotTable.rewriteDeletes); empty result set = nothing
+        // crossed the threshold (the healthy steady state, not an error)
+        Seq("table" -> StringType, "run_id" -> StringType,
+          "min_ratio_pct" -> IntegerType), SnapRow,
+        in => t(in).rewriteDeletes(spark, in.getUTF8String(1).toString,
+          in.getInt(2) / 100.0).map(snapRow).getOrElse(Seq.empty))
       case "publish_staged" => GraftProcedure("publish_staged",
         Seq("table" -> StringType, "snapshot_id" -> LongType), SnapRow,
         in => { val id = in.getLong(1); t(in).publishStaged(id); snapRow(id) })
@@ -123,8 +138,8 @@ object GraftProcedures {
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("expire_snapshots", "remove_orphan_files", "remove_orphan_manifests",
-        "compact", "publish_staged", "discard_staged", "tag", "restore",
-        "create_branch", "fast_forward", "drop_branch")
+        "compact", "rewrite_deletes", "publish_staged", "discard_staged",
+        "tag", "restore", "create_branch", "fast_forward", "drop_branch")
         .map(Identifier.of(namespace, _))
     else Array.empty
 }

@@ -198,7 +198,7 @@ final class SnapshotCowScan(dir: String, entries: Seq[ManifestEntry],
   /** NO pushed filters reach parquet: row groups of kept buckets must
     * surface every row (see class doc invariant). */
   override def createReaderFactory(): PartitionReaderFactory =
-    SnapshotRead.readerFactory(spark, dataSchema, required, Array.empty)
+    SnapshotRead.readerFactory(spark, dir, dataSchema, required, Array.empty)
 }
 
 /** The replacement write: same clustered-by-conv_id, sorted
@@ -222,7 +222,10 @@ final class SnapshotCowWrite(op: SnapshotRowLevelOperation, dir: String,
 
   override def toBatch: BatchWrite = {
     val runId = s"cow-${cmd.toString.toLowerCase}-${info.queryId()}"
-    new SnapshotCowBatchWrite(op, dir, numBuckets, info.schema(), runId)
+    // column mapping: COW rewrites must land under the PHYSICAL names
+    // too, or a rewritten bucket would fork the file-level naming
+    new SnapshotCowBatchWrite(op, dir, numBuckets,
+      SnapshotTableMeta.toPhysical(dir, info.schema()), runId)
   }
 }
 

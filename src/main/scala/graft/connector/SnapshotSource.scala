@@ -154,17 +154,39 @@ final class SnapshotSource extends TableProvider with DataSourceRegister {
       Option(schema).filter(_.fields.nonEmpty))
 }
 
+/** One column of the table's FIELD-ID mapping (the Iceberg field-id /
+  * Delta column-mapping analog): `id` is assigned once at column creation
+  * and never changes; `phys` is the column name frozen into data files at
+  * creation time; `name` is the current LOGICAL name SQL users see.
+  * RENAME edits only `name`; DROP only flips `dropped` (the phys name
+  * stays reserved so a later ADD of the same logical name cannot collide
+  * with bytes still sitting in old files). Data files are never touched by
+  * either — rename/drop are pure metadata operations, which is the only
+  * form that survives 100 TB. */
+final case class ColumnMapEntry(id: Int, name: String, phys: String,
+    dropped: Boolean = false)
+
 /** `CREATE TABLE`-time metadata for tables that have no commit yet (and
   * the bucket-count/schema fallback for delete-emptied snapshots): one
-  * tiny JSON file, superseded by manifests as soon as snapshot 0 lands. */
+  * tiny JSON file, superseded by manifests as soon as snapshot 0 lands —
+  * EXCEPT the optional column `mapping`, which stays authoritative for the
+  * table's logical↔physical name overlay for as long as the table lives. */
 object SnapshotTableMeta {
   private def file(dir: String) = Paths.get(dir, "TABLE_META.json")
 
-  def write(dir: String, schemaDdl: String, numBuckets: Int): Unit = {
+  def write(dir: String, schemaDdl: String, numBuckets: Int,
+      mapping: Option[Seq[ColumnMapEntry]] = None): Unit = {
     Files.createDirectories(Paths.get(dir))
-    val esc = schemaDdl.replace("\\", "\\\\").replace("\"", "\\\"")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val mapField = mapping match {
+      case Some(ms) =>
+        ms.map(m => s"""{"id":${m.id},"name":"${esc(m.name)}",""" +
+          s""""phys":"${esc(m.phys)}","dropped":${m.dropped}}""")
+          .mkString(""","mapping":[""", ",", "]")
+      case None => ""
+    }
     Files.writeString(file(dir),
-      s"""{"schema":"$esc","numBuckets":$numBuckets}""")
+      s"""{"schema":"${esc(schemaDdl)}","numBuckets":$numBuckets$mapField}""")
     ()
   }
 
@@ -173,6 +195,76 @@ object SnapshotTableMeta {
     else {
       val n = new ObjectMapper().readTree(Files.readString(file(dir)))
       Some((n.get("schema").asText(), n.get("numBuckets").asInt()))
+    }
+
+  /** The column mapping, present only once an ALTER created one. */
+  def mapping(dir: String): Option[Seq[ColumnMapEntry]] =
+    if (!Files.exists(file(dir))) None
+    else {
+      val n = new ObjectMapper().readTree(Files.readString(file(dir)))
+      Option(n.get("mapping")).map(_.elements().asScala.map(e =>
+        ColumnMapEntry(e.get("id").asInt(), e.get("name").asText(),
+          e.get("phys").asText(), e.get("dropped").asBoolean())).toSeq)
+    }
+
+  /** Rename a LOGICAL-named schema to the PHYSICAL names frozen in data
+    * files (identity when the table has no mapping — the common case and
+    * every pre-mapping table). Positions and types are untouched: V2 rows
+    * are positional, so this only redirects parquet column resolution. */
+  def toPhysical(dir: String, schema: StructType): StructType =
+    mapping(dir) match {
+      case None => schema
+      case Some(ms) =>
+        val byName = ms.filterNot(_.dropped).map(m => m.name -> m.phys).toMap
+        StructType(schema.fields.map(f =>
+          byName.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+    }
+
+  /** Rewrite filter attribute names logical→physical so pushed filters
+    * keep driving parquet row-group skipping after a rename. Filters
+    * naming un-mapped columns pass through; filter shapes outside the
+    * rewritable subset are DROPPED — safe because every pushed filter is
+    * also kept residual (Spark re-evaluates rows). */
+  def filtersToPhysical(dir: String, filters: Array[Filter]): Array[Filter] =
+    mapping(dir) match {
+      case None => filters
+      case Some(ms) =>
+        val byName = ms.filterNot(_.dropped).map(m => m.name -> m.phys).toMap
+        def ren(a: String): String = byName.getOrElse(a, a)
+        def go(f: Filter): Option[Filter] = f match {
+          case EqualTo(a, v)            => Some(EqualTo(ren(a), v))
+          case EqualNullSafe(a, v)      => Some(EqualNullSafe(ren(a), v))
+          case GreaterThan(a, v)        => Some(GreaterThan(ren(a), v))
+          case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(ren(a), v))
+          case LessThan(a, v)           => Some(LessThan(ren(a), v))
+          case LessThanOrEqual(a, v)    => Some(LessThanOrEqual(ren(a), v))
+          case In(a, vs)                => Some(In(ren(a), vs))
+          case IsNull(a)                => Some(IsNull(ren(a)))
+          case IsNotNull(a)             => Some(IsNotNull(ren(a)))
+          case StringStartsWith(a, v)   => Some(StringStartsWith(ren(a), v))
+          case StringEndsWith(a, v)     => Some(StringEndsWith(ren(a), v))
+          case StringContains(a, v)     => Some(StringContains(ren(a), v))
+          case And(l, r) => for { a <- go(l); b <- go(r) } yield And(a, b)
+          case Or(l, r)  => for { a <- go(l); b <- go(r) } yield Or(a, b)
+          case Not(c)    => go(c).map(Not)
+          case _         => None
+        }
+        filters.flatMap(go)
+    }
+
+  /** Overlay a PHYSICAL schema (what data files / manifest entries carry)
+    * with the logical mapping: renamed columns surface under their current
+    * logical name, dropped columns vanish. Identity without a mapping. */
+  def toLogical(dir: String, physical: StructType): StructType =
+    mapping(dir) match {
+      case None => physical
+      case Some(ms) =>
+        val byPhys = ms.map(m => m.phys -> m).toMap
+        StructType(physical.fields.flatMap(f => byPhys.get(f.name) match {
+          case Some(m) if m.dropped => None
+          case Some(m)              => Some(f.copy(name = m.name))
+          case None                 => Some(f)
+        }))
     }
 
   def exists(dir: String): Boolean = Files.exists(file(dir))
@@ -447,6 +539,16 @@ final class SnapshotV2Table(dir: String, snapshotId: Long,
   }
 
   override def schema(): StructType = {
+    // COLUMN-MAPPED table (a rename/drop happened at some point): the
+    // CURRENT logical schema in TABLE_META is authoritative for every
+    // read, time travel included — entries carry PHYSICAL names and may,
+    // post-drop, be only union-compatible; the reader resolves parquet
+    // columns by physical name per file (missing → null), so an old
+    // snapshot surfaces exactly its own data under today's names.
+    if (SnapshotTableMeta.mapping(dir).isDefined)
+      SnapshotTableMeta.read(dir)
+        .map(m => DataType.fromDDL(m._1).asInstanceOf[StructType])
+        .foreach(s => return s)
     // additive evolution: a snapshot can mix old and appended-column
     // file-sets — resolve the WIDEST (old files read null-filled)
     val fromEntries = SnapshotTable.widestSchema(entries.map(_.schema))
@@ -673,12 +775,20 @@ private[graft] object SnapshotRead {
     * reader and returns a serializable per-file closure — identical
     * row-group skipping and column decoding to the built-in source, but
     * over OUR manifest-selected file set. */
-  def readerFactory(spark: SparkSession, dataSchema: StructType,
+  /** Single reader-construction point for every scan face (batch, COW,
+    * micro-batch). Column-mapping translation happens HERE: the caller
+    * passes LOGICAL-named schemas/filters (what Spark planned against);
+    * parquet resolves columns by the PHYSICAL names frozen in the files.
+    * V2 rows are positional, so renaming schema fields redirects parquet
+    * column resolution without touching row layout. */
+  def readerFactory(spark: SparkSession, dir: String, dataSchema: StructType,
       required: StructType, pushed: Array[Filter]): PartitionReaderFactory = {
     val fmt = new ParquetFileFormat
     val hconf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
     val readFunc = fmt.buildReaderWithPartitionValues(
-      spark, dataSchema, new StructType(), required, pushed.toSeq,
+      spark, SnapshotTableMeta.toPhysical(dir, dataSchema), new StructType(),
+      SnapshotTableMeta.toPhysical(dir, required),
+      SnapshotTableMeta.filtersToPhysical(dir, pushed).toSeq,
       Map(FileFormat.OPTION_RETURNING_BATCH -> "false"), hconf)
     SnapshotReaderFactory(readFunc)
   }
@@ -781,7 +891,7 @@ final class SnapshotScan(dir: String, entries: Seq[ManifestEntry],
     else SnapshotRead.pack(spark, fileStatuses)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    SnapshotRead.readerFactory(spark, dataSchema, required, pushed)
+    SnapshotRead.readerFactory(spark, dir, dataSchema, required, pushed)
 
   /** Structured-streaming face (the Iceberg incremental-append-scan analog
     * as a real `readStream` source): each micro-batch is the file-set DELTA
@@ -861,7 +971,7 @@ final class SnapshotMicroBatchStream(dir: String, numBuckets: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    SnapshotRead.readerFactory(spark, dataSchema, required, pushed)
+    SnapshotRead.readerFactory(spark, dir, dataSchema, required, pushed)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -90,7 +90,11 @@ final class SnapshotWrite(dir: String, numBuckets: Int, info: LogicalWriteInfo,
     val toBranch = Option(info.options().get("branch")).map(_.trim).filter(_.nonEmpty)
     require(toBranch.isEmpty || (!truncateFirst && !wap),
       "option(\"branch\") supports append mode only (no overwrite, no wap)")
-    new SnapshotBatchWrite(dir, numBuckets, info.schema(), runId, truncateFirst,
+    // column mapping: data files carry PHYSICAL names (frozen at column
+    // creation) — translate the logical write schema before anything is
+    // written or recorded in the manifest entry DDL
+    new SnapshotBatchWrite(dir, numBuckets,
+      SnapshotTableMeta.toPhysical(dir, info.schema()), runId, truncateFirst,
       wap, toBranch)
   }
 
@@ -98,7 +102,8 @@ final class SnapshotWrite(dir: String, numBuckets: Int, info: LogicalWriteInfo,
     * `<queryId>-<epoch>` — replayed epochs are detected in the retained
     * manifest lineage and publish nothing. */
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-    new SnapshotStreamingWrite(dir, numBuckets, info.schema(), info.queryId())
+    new SnapshotStreamingWrite(dir, numBuckets,
+      SnapshotTableMeta.toPhysical(dir, info.schema()), info.queryId())
 }
 
 /** Per-bucket stats + staged file one task observed/wrote. */

@@ -262,9 +262,18 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     // the other (`ALTER TABLE ADD COLUMNS` appends nullable columns;
     // readers resolve the widest and null-fill old files). Anything else
     // — renames, type changes, reorders — is still rejected.
+    // columns DROPPED via the catalog's field-id mapping stop appearing in
+    // new write schemas — normalize both sides modulo the dropped physical
+    // names before the prefix test, so post-drop appends stay legal while
+    // genuine renames/reorders/type changes are still rejected
+    lazy val droppedP = droppedPhysNames
+    def schemaOk(a: String, b: String): Boolean =
+      SnapshotTable.prefixCompatible(a, b) ||
+        (droppedP.nonEmpty &&
+          SnapshotTable.prefixCompatibleModulo(a, b, droppedP))
     prev.find(e => e.kind == "data" && schemaDdl.nonEmpty && e.schema.nonEmpty &&
         e.schema != schemaDdl &&
-        !SnapshotTable.prefixCompatible(e.schema, schemaDdl)).foreach { e =>
+        !schemaOk(e.schema, schemaDdl)).foreach { e =>
       throw new IllegalStateException(
         s"schema change detected: table $dir bucket ${e.bucket} (run ${e.runId}) " +
           s"was committed with schema [${e.schema}] but run " +
@@ -466,6 +475,24 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
         .select(col("conv_id"), col("turn_idx")),
       Seq("conv_id", "turn_idx"), "left_anti")
 
+  /** Physical names of columns DROPPED via the catalog's field-id column
+    * mapping (TABLE_META.json `mapping`) — empty for unmapped tables (the
+    * common case; the file is a driver-side read per use, ALTERs can land
+    * at any time). The library stays at the PHYSICAL level throughout;
+    * the logical rename/drop overlay is the V2 connector's. */
+  private def droppedPhysNames: Set[String] = {
+    val f = Paths.get(dir, "TABLE_META.json")
+    if (!Files.exists(f)) Set.empty
+    else try {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readString(f))
+      Option(n.get("mapping")).map { arr =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(arr.elements()).asScala
+          .filter(_.get("dropped").asBoolean()).map(_.get("phys").asText()).toSet
+      }.getOrElse(Set.empty)
+    } catch { case _: Exception => Set.empty }
+  }
+
   /** Data rows of an entry set under the widest compatible schema —
     * WITHOUT delete application (callers decide). */
   private def dataRead(spark: SparkSession, dataEntries: Seq[BucketEntry]): DataFrame = {
@@ -481,7 +508,15 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
             .schema(org.apache.spark.sql.types.DataType.fromDDL(w)
               .asInstanceOf[org.apache.spark.sql.types.StructType])
             .parquet(dataEntries.map(_.path): _*)
-        case None => // incompatible mix (pre-guard table): infer as before
+        case None =>
+          // a column-mapped table that dropped a column then kept
+          // appending holds a UNION-compatible (not prefix-compatible)
+          // mix: merge footers by name — correct for by-name unions,
+          // and bounded (one footer per file-set, driver-side)
+          if (droppedPhysNames.nonEmpty)
+            return spark.read.option("mergeSchema", "true")
+              .parquet(dataEntries.map(_.path): _*)
+        // otherwise: incompatible mix (pre-guard table) — infer as before
       }
     spark.read.parquet(dataEntries.map(_.path): _*)
   }
@@ -671,6 +706,42 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
       runId: String): Option[Long] =
     deleteRowsMor(spark,
       read(spark).where(condition).select(col("conv_id"), col("turn_idx")), runId)
+
+  /** Targeted MOR-delete compaction (the Iceberg
+    * `rewrite_position_delete_files` / delete-ratio-triggered
+    * `rewrite_data_files` maintenance analog): folds pending delete
+    * file-sets back into plain data — but ONLY for buckets whose pending
+    * delete-key count is at least `minDeleteRatio` of the bucket's data
+    * rows. This is what keeps merge-on-read read amplification bounded at
+    * scale: every read of a delete-carrying bucket pays the anti-join
+    * tax, so buckets past the threshold get rewritten (O(those buckets),
+    * not O(table) like [[compact]]), while lightly-deleted buckets keep
+    * their cheap delete files. The decision is manifest-only (driver-side
+    * counts, no data IO); the rewrite itself reads just the targeted
+    * buckets' files and commits under the standard crash-safe protocol.
+    *
+    * @return the new snapshot id, or None when no bucket crosses the
+    *         threshold (nothing to do — the healthy steady state). */
+  def rewriteDeletes(spark: SparkSession, runId: String,
+      minDeleteRatio: Double = 0.1): Option[Long] = {
+    import spark.implicits._
+    require(minDeleteRatio >= 0.0, s"negative minDeleteRatio $minDeleteRatio")
+    val entries = committedEntries(spark)
+    val targets = entries.groupBy(_.bucket).collect {
+      case (b, es) if {
+        val delKeys = es.filter(_.kind == "delete").map(_.turns).sum
+        val dataRows = math.max(1L, es.filter(_.kind == "data").map(_.turns).sum)
+        delKeys > 0 && delKeys.toDouble / dataRows >= minDeleteRatio
+      } => b
+    }.toSet
+    if (targets.isEmpty) return None
+    val tEntries = entries.filter(e => targets(e.bucket))
+    // pending deletes applied exactly once, here — the rewritten buckets
+    // carry no delete entries afterwards (forceReplace drops them)
+    val survivors = logicalRead(spark, tEntries).as[ExtractedTurn]
+    commit(spark, survivors, runId, replaceBuckets = true,
+      forceReplace = targets)
+  }
 
   /** Keyed UPSERT (the Iceberg `MERGE INTO … WHEN MATCHED UPDATE / WHEN NOT
     * MATCHED INSERT` analog on the table key `(conv_id, turn_idx)`): rows in
@@ -1249,6 +1320,24 @@ object SnapshotTable {
       case (Some(sa), Some(sb)) =>
         val (short, long) = if (sa.length <= sb.length) (sa, sb) else (sb, sa)
         short.fields.zip(long.fields).forall { case (f, g) =>
+          f.name == g.name && f.dataType == g.dataType
+        }
+      case _ => false
+    }
+
+  /** [[prefixCompatible]] after removing `dropped` physical column names
+    * from both sides — the compatibility a column-mapped table needs once
+    * a DROP COLUMN happened (new writes no longer carry the dropped
+    * physical column, old files still do). */
+  private[graft] def prefixCompatibleModulo(a: String, b: String,
+      dropped: Set[String]): Boolean =
+    (parseSchema(a), parseSchema(b)) match {
+      case (Some(sa), Some(sb)) =>
+        def live(s: org.apache.spark.sql.types.StructType) =
+          s.fields.filterNot(f => dropped.contains(f.name))
+        val (fa, fb) = (live(sa), live(sb))
+        val (short, long) = if (fa.length <= fb.length) (fa, fb) else (fb, fa)
+        short.zip(long).forall { case (f, g) =>
           f.name == g.name && f.dataType == g.dataType
         }
       case _ => false

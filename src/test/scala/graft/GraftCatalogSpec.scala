@@ -341,9 +341,11 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(s.sql("SELECT * FROM graft.t_evo VERSION AS OF 0").schema.fieldNames.toSeq ==
       Seq("conv_id", "ts", "note"))
 
-    // non-additive changes are refused, not approximated
-    intercept[Exception] { s.sql("ALTER TABLE graft.t_evo DROP COLUMN note") }
-    intercept[Exception] { s.sql("ALTER TABLE graft.t_evo RENAME COLUMN note TO memo") }
+    // type changes are still refused, not approximated (rename/drop have
+    // their own metadata-only lane — see the column-mapping test below)
+    intercept[Exception] {
+      s.sql("ALTER TABLE graft.t_evo ALTER COLUMN note TYPE INT")
+    }
     // COW UPDATE over the MIXED-schema table: the operation scan reads old
     // files null-filled under the widest schema, the rewritten bucket
     // lands in the evolved shape, and the prefix guard accepts the commit
@@ -360,6 +362,93 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(s.table("graft.t_evo").count() == 2L)
     assert(graft.table.SnapshotTable.open(s"$warehouse/t_evo")
       .committedEntries(spark).map(_.schema).distinct.size == 1)
+  }
+
+  test("RENAME/DROP COLUMN via field-id mapping: metadata-only, old " +
+    "snapshots read correctly, COW UPDATE over a renamed column, re-added " +
+    "name never resurrects dropped bytes") {
+    val s = catalogSession(spj = false)
+    s.sql("CREATE TABLE graft.t_map (conv_id STRING, ts TIMESTAMP, " +
+      "note STRING, score INT) USING `graft-snapshot` " +
+      "TBLPROPERTIES ('numBuckets'='4')")
+    s.sql("INSERT INTO graft.t_map VALUES " +
+      "('m1', TIMESTAMP'2026-01-01 00:00:00', 'alpha', 1), " +
+      "('m2', TIMESTAMP'2026-01-01 00:00:01', 'beta', 2)")
+    val dir = s"$warehouse/t_map"
+    val filesBefore = graft.table.SnapshotTable.open(dir)
+      .committedEntries(spark).map(_.path).toSet
+
+    // ---- RENAME: pure metadata; snapshot 0's data reads under the new name
+    s.sql("ALTER TABLE graft.t_map RENAME COLUMN note TO memo")
+    assert(s.table("graft.t_map").schema.fieldNames.toSeq ==
+      Seq("conv_id", "ts", "memo", "score"))
+    assert(s.sql("SELECT memo FROM graft.t_map WHERE conv_id = 'm1'")
+      .collect().head.getString(0) == "alpha")
+    // filter ON the renamed column (pushed filters translate to phys)
+    assert(s.sql("SELECT conv_id FROM graft.t_map WHERE memo = 'beta'")
+      .collect().map(_.getString(0)).toSeq == Seq("m2"))
+    // time travel to the pre-rename snapshot: same rows, current names
+    assert(s.sql("SELECT memo FROM graft.t_map VERSION AS OF 0 " +
+      "WHERE conv_id = 'm2'").collect().head.getString(0) == "beta")
+    // no data file was touched
+    assert(graft.table.SnapshotTable.open(dir)
+      .committedEntries(spark).map(_.path).toSet == filesBefore)
+
+    // ---- COW UPDATE over the renamed column
+    s.sql("UPDATE graft.t_map SET memo = 'gamma' WHERE conv_id = 'm1'")
+    assert(s.sql("SELECT memo FROM graft.t_map ORDER BY conv_id").collect()
+      .map(_.getString(0)).toSeq == Seq("gamma", "beta"))
+    // the rewrite landed under the PHYSICAL name (file-level naming stable)
+    assert(graft.table.SnapshotTable.open(dir).committedEntries(spark)
+      .forall(e => e.schema.contains("note") && !e.schema.contains("memo")))
+
+    // ---- new append through the logical name
+    s.sql("INSERT INTO graft.t_map VALUES " +
+      "('m3', TIMESTAMP'2026-01-01 00:00:02', 'delta', 3)")
+    assert(s.sql("SELECT memo FROM graft.t_map WHERE conv_id = 'm3'")
+      .collect().head.getString(0) == "delta")
+
+    // ---- DROP: metadata-only; column vanishes, rows intact
+    s.sql("ALTER TABLE graft.t_map DROP COLUMN memo")
+    assert(s.table("graft.t_map").schema.fieldNames.toSeq ==
+      Seq("conv_id", "ts", "score"))
+    assert(s.table("graft.t_map").count() == 3L)
+    // time travel post-drop: the dropped column is hidden there too
+    assert(!s.sql("SELECT * FROM graft.t_map VERSION AS OF 0")
+      .schema.fieldNames.contains("memo"))
+
+    // ---- append AFTER the drop (new files lack the dropped phys column:
+    // union-compatible, the modulo-drop commit guard accepts)
+    s.sql("INSERT INTO graft.t_map VALUES " +
+      "('m4', TIMESTAMP'2026-01-01 00:00:03', 4)")
+    assert(s.table("graft.t_map").count() == 4L)
+    assert(s.sql("SELECT score FROM graft.t_map WHERE conv_id = 'm4'")
+      .collect().head.getInt(0) == 4)
+
+    // ---- re-ADD the dropped logical name: fresh field id + de-collided
+    // physical name — the old 'memo'/'note' bytes must NOT resurrect
+    s.sql("ALTER TABLE graft.t_map ADD COLUMNS (memo STRING)")
+    val re = s.sql("SELECT conv_id, memo FROM graft.t_map ORDER BY conv_id")
+      .collect()
+    assert(re.forall(_.isNullAt(1)),
+      "re-added column resurrected dropped bytes: " + re.mkString(","))
+    s.sql("INSERT INTO graft.t_map VALUES " +
+      "('m5', TIMESTAMP'2026-01-01 00:00:04', 5, 'fresh')")
+    assert(s.sql("SELECT memo FROM graft.t_map WHERE conv_id = 'm5'")
+      .collect().head.getString(0) == "fresh")
+
+    // ---- guards: the table key and stats columns are immutable
+    intercept[Exception] {
+      s.sql("ALTER TABLE graft.t_map RENAME COLUMN conv_id TO cid")
+    }
+    intercept[Exception] { s.sql("ALTER TABLE graft.t_map DROP COLUMN ts") }
+
+    // ---- maintenance still works end-to-end on the mapped table
+    assert(s.sql("CALL graft.system.compact('t_map', 'fold-map')")
+      .collect().head.getLong(0) > 0L)
+    assert(s.table("graft.t_map").count() == 5L)
+    assert(s.sql("SELECT memo FROM graft.t_map WHERE conv_id = 'm5'")
+      .collect().head.getString(0) == "fresh")
   }
 
   test("incremental batch read: option(changesFrom) scopes the table to the file-set delta") {

@@ -187,6 +187,58 @@ class MorDeleteSpec extends AnyFunSuite with SparkTestBase {
     assert(table2.read(spark).where(col("tool") === victimTool).count() == 0)
   }
 
+  test("rewriteDeletes: only buckets past the delete-ratio threshold are " +
+    "rewritten; their delete entries fold away (read amplification drops); " +
+    "logical rows unchanged; SQL CALL face works") {
+    import testImplicits._
+    val (dir, table) = freshTable(nConvs = 24)
+    val all = table.read(spark)
+    // heavy deletes in ONE bucket (a whole conversation), nothing elsewhere
+    val victim = all.select("conv_id").as[String].head()
+    val heavyBucket = table.bucketOfId(victim)
+    table.deleteRowsMor(spark,
+      all.where(col("conv_id") === victim).select("conv_id", "turn_idx"),
+      "mor-heavy").get
+    // one lone key in a DIFFERENT bucket: stays below any sane threshold
+    val lightTurn = all
+      .withColumn("b", table.bucketOf).where(col("b") =!= heavyBucket)
+      .select("conv_id", "turn_idx").as[(String, Int)].head()
+    table.deleteRowsMor(spark,
+      Seq(lightTurn).toDF("conv_id", "turn_idx"), "mor-light").get
+    val logicalBefore = table.read(spark).count()
+    val entriesBefore = table.committedEntries(spark)
+    assert(entriesBefore.count(_.kind == "delete") == 2)
+
+    // threshold 10%: the whole-conversation bucket crosses it, the
+    // single-key bucket does not
+    val snap = table.rewriteDeletes(spark, "rw-1", minDeleteRatio = 0.1)
+    assert(snap.nonEmpty)
+    val entriesAfter = table.committedEntries(spark)
+    val heavyAfter = entriesAfter.filter(_.bucket == heavyBucket)
+    assert(heavyAfter.nonEmpty && heavyAfter.forall(_.kind == "data"))
+    assert(heavyAfter.size < entriesBefore.count(_.bucket == heavyBucket))
+    assert(entriesAfter.count(_.kind == "delete") == 1) // the light one stays
+    assert(table.read(spark).count() == logicalBefore) // results unchanged
+    assert(table.read(spark).where(col("conv_id") === victim).count() == 0)
+    // untargeted buckets' files byte-untouched (same paths referenced)
+    val untouched = entriesBefore.filter(e =>
+      e.bucket != heavyBucket && e.kind == "data").map(_.path).toSet
+    assert(untouched.subsetOf(entriesAfter.map(_.path).toSet))
+    // steady state: nothing left past the threshold -> None, no snapshot
+    assert(table.rewriteDeletes(spark, "rw-2", minDeleteRatio = 0.1).isEmpty)
+    // CALL face: ratio 0% now sweeps the remaining single-key delete
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft", "graft.connector.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse",
+      Paths.get(dir).getParent.toString)
+    val tname = Paths.get(dir).getFileName.toString
+    val called = s.sql(
+      s"CALL graft.system.rewrite_deletes('$tname', 'rw-sql', 0)").collect()
+    assert(called.length == 1)
+    assert(table.committedEntries(spark).forall(_.kind == "data"))
+    assert(table.read(spark).count() == logicalBefore)
+  }
+
   test("zero-match MOR delete is an inert no-op: None, no new snapshot, " +
     "no crash on the empty key set") {
     val (_, table) = freshTable()
