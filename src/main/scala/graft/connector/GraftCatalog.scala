@@ -99,6 +99,26 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       if (tableExists(base))
         return SnapshotMetaTables.load(dirOf(base), n.substring(dollar + 1))
     }
+    // Persisted-index tables: graft.`t$dupindex` (MinHash-LSH band lists,
+    // partitioned by cell) / graft.`t$vecindex` (IVF inverted lists,
+    // partitioned by cent_id) — the indexes CALL graft.system.build_*_index
+    // materialized under <table>/index/. Read-only parquet scans with
+    // partition pruning, so `WHERE cell IN (…)` / `cent_id IN (…)` probes
+    // open only the matching cells' files — the SQL face of
+    // DupIndex.probe / VectorIndex.search.
+    val indexSub = Map("dupindex" -> "dup", "vecindex" -> "vec")
+    if (dollar > 0 && indexSub.contains(n.substring(dollar + 1))) {
+      val base = Identifier.of(ident.namespace(), n.substring(0, dollar))
+      val listsDir = s"${dirOf(base)}/index/${indexSub(n.substring(dollar + 1))}/lists"
+      if (tableExists(base) && Files.exists(Paths.get(listsDir)))
+        return org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+          s"$listsDir", org.apache.spark.sql.SparkSession.active
+            .asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+            java.util.Collections.emptyMap()),
+          Seq(listsDir), None,
+          classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+    }
     load(ident, None)
   }
 

@@ -32,6 +32,7 @@ object GraftProcedures {
 
   private val PathRow = new StructType().add("path", StringType, nullable = false)
   private val SnapRow = new StructType().add("snapshot_id", LongType, nullable = false)
+  private val CountRow = new StructType().add("entries", LongType, nullable = false)
 
   private def pathRows(ps: Seq[String]): Seq[InternalRow] =
     ps.map(p => new GenericInternalRow(Array[Any](UTF8String.fromString(p))))
@@ -81,6 +82,38 @@ object GraftProcedures {
               table.currentSnapshotId.getOrElse(sys.error("compact published no snapshot"))
             }
           snapRow(id)
+        })
+      case "build_dup_index" => GraftProcedure("build_dup_index",
+        // Persist a MinHash-LSH near-dup index over the table's live text
+        // at <table>/index/dup; SQL users then probe it via the
+        // graft.`t$dupindex` metadata table (cell-pruned scans). Doc ids
+        // are xxhash64(conv_id, turn_idx) — the stable 64-bit key of the
+        // table's row key.
+        Seq("table" -> StringType), CountRow,
+        in => {
+          val table = t(in)
+          import org.apache.spark.sql.functions.{col, xxhash64}
+          val docs = table.read(spark)
+            .select(xxhash64(col("conv_id"), col("turn_idx")).as("doc_id"),
+              col("text"))
+          val idx = graft.dedup.DupIndex.build(spark, docs,
+            s"${table.dir}/index/dup")
+          snapRow(idx.count(spark))
+        })
+      case "build_vec_index" => GraftProcedure("build_vec_index",
+        // Persist an IVF(-PQ) ANN index over a (vec_id, embedding) table
+        // at <table>/index/vec; probe via graft.`t$vecindex` (cent_id-
+        // pruned scans) or the library's VectorIndex.search.
+        Seq("table" -> StringType), CountRow,
+        in => {
+          val table = t(in)
+          val df = table.read(spark)
+          require(df.columns.contains("vec_id") && df.columns.contains("embedding"),
+            "build_vec_index needs (vec_id, embedding) columns; got " +
+              s"[${df.columns.mkString(", ")}]")
+          val idx = graft.vector.VectorIndex.build(spark,
+            df.select("vec_id", "embedding"), s"${table.dir}/index/vec")
+          snapRow(idx.count(spark))
         })
       case "rewrite_deletes" => GraftProcedure("rewrite_deletes",
         // delete-ratio-triggered MOR maintenance: rewrite only buckets
@@ -138,7 +171,8 @@ object GraftProcedures {
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("expire_snapshots", "remove_orphan_files", "remove_orphan_manifests",
-        "compact", "rewrite_deletes", "publish_staged", "discard_staged",
+        "compact", "rewrite_deletes", "build_dup_index", "build_vec_index",
+        "publish_staged", "discard_staged",
         "tag", "restore", "create_branch", "fast_forward", "drop_branch")
         .map(Identifier.of(namespace, _))
     else Array.empty

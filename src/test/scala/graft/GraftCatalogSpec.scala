@@ -451,6 +451,63 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
       .collect().head.getString(0) == "fresh")
   }
 
+  test("persisted indexes as catalog tables: CALL build_dup_index / " +
+    "build_vec_index, probe via graft.`t$dupindex` / graft.`t$vecindex`") {
+    import testImplicits._
+    val s = catalogSession(spj = false)
+
+    // ---- near-dup index over a transcript table's text
+    val shared = "the quick brown fox jumps over the lazy dog and keeps " +
+      "jumping over it all day long without ever stopping once"
+    val rows = (0 until 30).map { i =>
+      val txt =
+        if (i % 3 == 0) shared
+        else s"document number $i talks at length about topic ${i * 7} in " +
+          s"its own particular words and phrasing variant $i"
+      ExtractedTurn(s"x$i", 0, "user", "html",
+        new Timestamp(base + i * 1000L), txt,
+        Seq(Span(0, 0, txt.length, "p", txt)), 1, 0, txt.length, 1.0)
+    }
+    rows.toDS().toDF().write.format("graft-snapshot").mode("append")
+      .option("numBuckets", "4").option("runId", "w1").save(s"$warehouse/t_idx")
+    val built = s.sql("CALL graft.system.build_dup_index('t_idx')").collect()
+    assert(built.head.getLong(0) > 0L)
+    val lists = s.table("graft.`t_idx$dupindex`")
+    // run is the append lineage (lists/run=…/cell=… layout), cell the
+    // pruning key — both surface as partition columns
+    assert(lists.columns.toSet == Set("bkey", "doc_id", "sig", "cell", "run"))
+    assert(lists.count() == built.head.getLong(0))
+    // cell-probe query: partition-pruned scan, runs from pure SQL
+    val c0 = lists.select("cell").distinct().limit(1).collect().head.getInt(0)
+    assert(s.sql("SELECT count(*) FROM graft.`t_idx$dupindex` " +
+      s"WHERE cell = $c0").collect().head.getLong(0) > 0L)
+    // SQL banded self-join surfaces the shared-text near-dup candidates —
+    // the DupIndex.probe shape expressed by a SQL user
+    val pairs = s.sql(
+      """SELECT count(*) FROM graft.`t_idx$dupindex` a
+         JOIN graft.`t_idx$dupindex` b
+         ON a.cell = b.cell AND a.bkey = b.bkey AND a.doc_id < b.doc_id""")
+      .collect().head.getLong(0)
+    assert(pairs > 0L)
+
+    // ---- ANN index over a (vec_id, embedding) table
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(concat(lit("v"), col("vec_id")).cast("string").as("conv_id"),
+        col("vec_id"), col("embedding"))
+    val nVec = emb.count()
+    emb.write.format("graft-snapshot").mode("append")
+      .option("numBuckets", "4").option("runId", "w1").save(s"$warehouse/t_vec")
+    val vbuilt = s.sql("CALL graft.system.build_vec_index('t_vec')").collect()
+    assert(vbuilt.head.getLong(0) == nVec)
+    val vl = s.table("graft.`t_vec$vecindex`")
+    assert(vl.columns.contains("cent_id") && vl.columns.contains("vec_id"))
+    assert(vl.count() == nVec)
+    // cent_id-probe (the IVF search's pruned-list scan) from pure SQL
+    val probed = s.sql("SELECT count(*) FROM graft.`t_vec$vecindex` " +
+      "WHERE cent_id IN (0, 1)").collect().head.getLong(0)
+    assert(probed > 0L && probed < nVec)
+  }
+
   test("incremental batch read: option(changesFrom) scopes the table to the file-set delta") {
     import testImplicits._
     val s = catalogSession(spj = false)
