@@ -19,15 +19,19 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     val rows = SparkEntry.queries("q_pq_encode")(spark, sf).collect()
     val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
     assert(rows.length.toLong == n, s"expected $n encoded vectors, got ${rows.length}")
+    // codes emit comma-joined (the oracle comparator cannot hash array
+    // cells) — parse back for the shape assertions
+    def codesOf(r: org.apache.spark.sql.Row): Seq[Int] =
+      r.getString(1).split(',').toSeq.map(_.toInt)
     rows.foreach { r =>
-      val codes = r.getSeq[Int](1)
+      val codes = codesOf(r)
       assert(codes.length == 8, s"vec ${r.getLong(0)}: ${codes.length} codes")
       assert(codes.forall(c => c >= 0 && c < 16),
         s"vec ${r.getLong(0)}: code out of 4-bit range: $codes")
     }
     // the codebooks must actually discriminate: across the corpus every
     // subspace should use more than one code word
-    val perSub = rows.flatMap(_.getSeq[Int](1).zipWithIndex.map(_.swap))
+    val perSub = rows.flatMap(r => codesOf(r).zipWithIndex.map(_.swap))
       .groupBy(_._1).map { case (m, cs) => m -> cs.map(_._2).distinct.length }
     assert(perSub.values.forall(_ > 1), s"degenerate codebook: $perSub")
   }
