@@ -423,7 +423,12 @@ object Bench {
           }
           val headline = Seq("cores", "workers").flatMap { sh =>
             gatedOf(sh).map { l =>
-              val normed = if (memOf(l) > 0) f(effOf(l) / memOf(l)) else "?"
+              // capped at 1.0: a severely bus-throttled wide level (say
+              // memCeiling 0.33) would otherwise "normalize" to >1, which
+              // is not an efficiency — the cap keeps the column honest
+              val normed =
+                if (memOf(l) > 0) f(math.min(1.0, effOf(l) / memOf(l)))
+                else "?"
               s"| $sh | ${grabIn(l, "efficiency")} | $normed | " +
                 s"${grabIn(l, "hostCeiling")} | ${grabIn(l, "memCeiling")} | " +
                 s"${grabIn(l, "tps_n")}→${grabIn(l, "tps_4n")} |"
