@@ -168,6 +168,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       SnapshotTableMeta.mapping(dir).map(_.toVector).getOrElse(
         fields.zipWithIndex.map { case (f, i) =>
           ColumnMapEntry(i + 1, f.name, f.name) }.toVector)
+    var widened = false
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -215,21 +216,47 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
           val mi = mapping.indexWhere(m => !m.dropped && m.name.equalsIgnoreCase(n))
           if (mi >= 0) mapping = mapping.updated(mi, mapping(mi).copy(dropped = true))
         }
+      case up: TableChange.UpdateColumnType =>
+        require(up.fieldNames().length == 1,
+          "graft-snapshot evolution: nested column type changes are unsupported")
+        val n = up.fieldNames()(0)
+        require(!immutable.contains(n.toLowerCase),
+          s"cannot retype $n: the table key (conv_id, turn_idx) and the " +
+            "stats column ts anchor bucketing, pruning and write distribution")
+        val i = fields.indexWhere(_.name.equalsIgnoreCase(n))
+        require(i >= 0, s"no such column $n")
+        import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+        val ok = (fields(i).dataType, up.newDataType()) match {
+          case (IntegerType, LongType)  => true // parquet reads INT32 as LONG
+          case (FloatType, DoubleType)  => true // and FLOAT as DOUBLE
+          case (a, b) if a == b         => true // idempotent no-op
+          case _                        => false
+        }
+        require(ok,
+          s"graft-snapshot evolution: only WIDENING type changes are " +
+            s"metadata-only (INT→BIGINT, FLOAT→DOUBLE); $n is " +
+            s"${fields(i).dataType.simpleString} → " +
+            s"${up.newDataType().simpleString} requires a rewrite " +
+            "(compact after migrating).")
+        fields(i) = fields(i).copy(dataType = up.newDataType())
+        widened = true
       case other => throw new UnsupportedOperationException(
         s"graft-snapshot supports metadata-only evolution (ADD COLUMNS, " +
-          s"RENAME COLUMN, DROP COLUMN); got $other. " +
+          s"RENAME COLUMN, DROP COLUMN, widening ALTER COLUMN TYPE); got $other. " +
           "Migrate by compacting after a rewrite.")
     }
     require(fields.nonEmpty, "cannot drop every column")
     val nb = SnapshotTableMeta.read(dir).map(_._2)
       .getOrElse(graft.table.SnapshotTable.open(dir).numBuckets)
-    // Persist the mapping only once it diverges from identity (a rename,
-    // drop, or de-collided phys name exists). ADD-only evolution keeps the
-    // original no-mapping behavior BIT-IDENTICAL — including time travel
-    // surfacing each snapshot's own (pre-evolution) schema; mapped tables
-    // deliberately surface the current logical schema everywhere instead.
+    // Persist the mapping only once the table is evolution-managed (a
+    // rename, drop, de-collided phys name, or WIDENING exists — widening
+    // needs the mapping marker so readers treat the meta schema as
+    // authoritative). ADD-only evolution keeps the original no-mapping
+    // behavior BIT-IDENTICAL — including time travel surfacing each
+    // snapshot's own (pre-evolution) schema; mapped tables deliberately
+    // surface the current logical schema everywhere instead.
     val mappingOpt = SnapshotTableMeta.mapping(dir).map(_ => mapping)
-      .orElse(if (mapping.exists(m => m.dropped || m.name != m.phys))
+      .orElse(if (widened || mapping.exists(m => m.dropped || m.name != m.phys))
         Some(mapping) else None)
     SnapshotTableMeta.write(dir, StructType(fields.toSeq).catalogString, nb,
       mappingOpt)

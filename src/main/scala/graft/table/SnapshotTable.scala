@@ -263,14 +263,17 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
     // readers resolve the widest and null-fill old files). Anything else
     // — renames, type changes, reorders — is still rejected.
     // columns DROPPED via the catalog's field-id mapping stop appearing in
-    // new write schemas — normalize both sides modulo the dropped physical
-    // names before the prefix test, so post-drop appends stay legal while
-    // genuine renames/reorders/type changes are still rejected
+    // new write schemas, and columns WIDENED (int→long, float→double)
+    // change type — on an evolution-managed table (mapping present),
+    // normalize both sides modulo the dropped physical names and accept
+    // widening pairs before the prefix test; genuine renames/reorders/
+    // arbitrary type changes are still rejected, and unmapped tables keep
+    // the strict name+type prefix rule
+    lazy val mapped = metaMapping.isDefined
     lazy val droppedP = droppedPhysNames
     def schemaOk(a: String, b: String): Boolean =
       SnapshotTable.prefixCompatible(a, b) ||
-        (droppedP.nonEmpty &&
-          SnapshotTable.prefixCompatibleModulo(a, b, droppedP))
+        (mapped && SnapshotTable.prefixCompatibleModulo(a, b, droppedP))
     prev.find(e => e.kind == "data" && schemaDdl.nonEmpty && e.schema.nonEmpty &&
         e.schema != schemaDdl &&
         !schemaOk(e.schema, schemaDdl)).foreach { e =>
@@ -475,23 +478,50 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
         .select(col("conv_id"), col("turn_idx")),
       Seq("conv_id", "turn_idx"), "left_anti")
 
-  /** Physical names of columns DROPPED via the catalog's field-id column
-    * mapping (TABLE_META.json `mapping`) — empty for unmapped tables (the
-    * common case; the file is a driver-side read per use, ALTERs can land
-    * at any time). The library stays at the PHYSICAL level throughout;
-    * the logical rename/drop overlay is the V2 connector's. */
-  private def droppedPhysNames: Set[String] = {
+  /** The catalog's field-id column mapping from TABLE_META.json, parsed
+    * minimally ((logicalName → physName, dropped) triples) — None for
+    * unmapped tables (the common case; driver-side read per use, ALTERs
+    * can land at any time). The library stays at the PHYSICAL level
+    * throughout; the logical rename/drop overlay is the V2 connector's. */
+  private def metaMapping: Option[Seq[(String, String, Boolean)]] = {
     val f = Paths.get(dir, "TABLE_META.json")
-    if (!Files.exists(f)) Set.empty
+    if (!Files.exists(f)) None
     else try {
       val n = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(Files.readString(f))
       Option(n.get("mapping")).map { arr =>
         scala.jdk.CollectionConverters.IteratorHasAsScala(arr.elements()).asScala
-          .filter(_.get("dropped").asBoolean()).map(_.get("phys").asText()).toSet
-      }.getOrElse(Set.empty)
-    } catch { case _: Exception => Set.empty }
+          .map(e => (e.get("name").asText(), e.get("phys").asText(),
+            e.get("dropped").asBoolean())).toSeq
+      }
+    } catch { case _: Exception => None }
   }
+
+  /** Physical names of columns DROPPED via the mapping. */
+  private def droppedPhysNames: Set[String] =
+    metaMapping.map(_.collect { case (_, p, true) => p }.toSet)
+      .getOrElse(Set.empty)
+
+  /** For EVOLUTION-MANAGED tables (a mapping exists): the current logical
+    * schema re-expressed under PHYSICAL names — the one schema every data
+    * file of the table reads correctly under (dropped columns projected
+    * away by omission; widened columns upcast per file by the parquet
+    * reader, which natively reads INT32 as LONG / FLOAT as DOUBLE when
+    * handed the wider schema). */
+  private def metaPhysicalSchema: Option[org.apache.spark.sql.types.StructType] =
+    metaMapping.flatMap { ms =>
+      val f = Paths.get(dir, "TABLE_META.json")
+      try {
+        val n = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(Files.readString(f))
+        val logical = org.apache.spark.sql.types.DataType
+          .fromDDL(n.get("schema").asText())
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val physOf = ms.collect { case (l, p, false) => l -> p }.toMap
+        Some(org.apache.spark.sql.types.StructType(logical.fields.map(fld =>
+          physOf.get(fld.name).map(p => fld.copy(name = p)).getOrElse(fld))))
+      } catch { case _: Exception => None }
+    }
 
   /** Data rows of an entry set under the widest compatible schema —
     * WITHOUT delete application (callers decide). */
@@ -509,13 +539,13 @@ final class SnapshotTable(val dir: String, val numBuckets: Int) {
               .asInstanceOf[org.apache.spark.sql.types.StructType])
             .parquet(dataEntries.map(_.path): _*)
         case None =>
-          // a column-mapped table that dropped a column then kept
-          // appending holds a UNION-compatible (not prefix-compatible)
-          // mix: merge footers by name — correct for by-name unions,
-          // and bounded (one footer per file-set, driver-side)
-          if (droppedPhysNames.nonEmpty)
-            return spark.read.option("mergeSchema", "true")
-              .parquet(dataEntries.map(_.path): _*)
+          // an EVOLUTION-MANAGED table (mapping present) that dropped or
+          // widened a column holds a mix no single entry schema covers:
+          // read under the meta-derived PHYSICAL schema — dropped columns
+          // project away by omission, widened columns upcast per file
+          metaPhysicalSchema.foreach(ps =>
+            return spark.read.schema(ps)
+              .parquet(dataEntries.map(_.path): _*))
         // otherwise: incompatible mix (pre-guard table) — infer as before
       }
     spark.read.parquet(dataEntries.map(_.path): _*)
@@ -1325,10 +1355,12 @@ object SnapshotTable {
       case _ => false
     }
 
-  /** [[prefixCompatible]] after removing `dropped` physical column names
-    * from both sides — the compatibility a column-mapped table needs once
-    * a DROP COLUMN happened (new writes no longer carry the dropped
-    * physical column, old files still do). */
+  /** [[prefixCompatible]] for EVOLUTION-MANAGED tables: after removing
+    * `dropped` physical column names from both sides (new writes no longer
+    * carry a dropped column, old files still do), and accepting WIDENING
+    * type pairs (int↔long, float↔double — post-widening writes carry the
+    * wide type, old files the narrow one; the parquet reader upcasts per
+    * file, so both read correctly under the wider schema). */
   private[graft] def prefixCompatibleModulo(a: String, b: String,
       dropped: Set[String]): Boolean =
     (parseSchema(a), parseSchema(b)) match {
@@ -1337,8 +1369,16 @@ object SnapshotTable {
           s.fields.filterNot(f => dropped.contains(f.name))
         val (fa, fb) = (live(sa), live(sb))
         val (short, long) = if (fa.length <= fb.length) (fa, fb) else (fb, fa)
+        import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+        def widening(x: org.apache.spark.sql.types.DataType,
+            y: org.apache.spark.sql.types.DataType): Boolean = (x, y) match {
+          case (IntegerType, LongType) | (LongType, IntegerType) => true
+          case (FloatType, DoubleType) | (DoubleType, FloatType) => true
+          case _ => false
+        }
         short.zip(long).forall { case (f, g) =>
-          f.name == g.name && f.dataType == g.dataType
+          f.name == g.name && (f.dataType == g.dataType ||
+            widening(f.dataType, g.dataType))
         }
       case _ => false
     }

@@ -451,6 +451,63 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
       .collect().head.getString(0) == "fresh")
   }
 
+  test("widening ALTER COLUMN TYPE (INT->BIGINT, FLOAT->DOUBLE): " +
+    "metadata-only, old files upcast per file, narrowing refused") {
+    val s = catalogSession(spj = false)
+    s.sql("CREATE TABLE graft.t_wide (conv_id STRING, ts TIMESTAMP, " +
+      "score INT, conf FLOAT) USING `graft-snapshot` " +
+      "TBLPROPERTIES ('numBuckets'='4')")
+    s.sql("INSERT INTO graft.t_wide VALUES " +
+      "('w1', TIMESTAMP'2026-01-01 00:00:00', 2147483647, CAST(0.5 AS FLOAT))")
+    val dir = s"$warehouse/t_wide"
+    val filesBefore = graft.table.SnapshotTable.open(dir)
+      .committedEntries(spark).map(_.path).toSet
+
+    s.sql("ALTER TABLE graft.t_wide ALTER COLUMN score TYPE BIGINT")
+    s.sql("ALTER TABLE graft.t_wide ALTER COLUMN conf TYPE DOUBLE")
+    assert(s.table("graft.t_wide").schema("score").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(s.table("graft.t_wide").schema("conf").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // the INT32/FLOAT file reads upcast, byte-untouched
+    val r0 = s.sql("SELECT score, conf FROM graft.t_wide WHERE conv_id = 'w1'")
+      .collect().head
+    assert(r0.getLong(0) == 2147483647L && r0.getDouble(1) == 0.5)
+    assert(graft.table.SnapshotTable.open(dir)
+      .committedEntries(spark).map(_.path).toSet == filesBefore)
+
+    // a value that needs the wide type lands through the widened schema
+    s.sql("INSERT INTO graft.t_wide VALUES " +
+      "('w2', TIMESTAMP'2026-01-01 00:00:01', 9999999999, 1.25)")
+    val rows = s.sql("SELECT conv_id, score, conf FROM graft.t_wide " +
+      "ORDER BY conv_id").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("w1", 2147483647L, 0.5), ("w2", 9999999999L, 1.25)))
+    // aggregate across the mixed int/long file-sets
+    assert(s.sql("SELECT sum(score) FROM graft.t_wide").collect()
+      .head.getLong(0) == 2147483647L + 9999999999L)
+    // library read resolves the same widened physical schema
+    val lib = graft.table.SnapshotTable.open(dir).read(spark)
+    assert(lib.schema("score").dataType == org.apache.spark.sql.types.LongType)
+    assert(lib.count() == 2L)
+    // COW UPDATE over the mixed widths
+    s.sql("UPDATE graft.t_wide SET score = 7 WHERE conv_id = 'w1'")
+    assert(s.sql("SELECT sum(score) FROM graft.t_wide").collect()
+      .head.getLong(0) == 7L + 9999999999L)
+
+    // narrowing / lossy changes are refused
+    intercept[Exception] {
+      s.sql("ALTER TABLE graft.t_wide ALTER COLUMN score TYPE INT")
+    }
+    intercept[Exception] {
+      s.sql("ALTER TABLE graft.t_wide ALTER COLUMN conf TYPE FLOAT")
+    }
+    // key/stats columns immutable
+    intercept[Exception] {
+      s.sql("ALTER TABLE graft.t_wide ALTER COLUMN conv_id TYPE BINARY")
+    }
+  }
+
   test("persisted indexes as catalog tables: CALL build_dup_index / " +
     "build_vec_index, probe via graft.`t$dupindex` / graft.`t$vecindex`") {
     import testImplicits._
