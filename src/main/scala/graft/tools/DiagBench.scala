@@ -26,6 +26,13 @@ object DiagBench {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BUF", "1m"))
       .config("spark.io.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
+      // lz4 block size for the shuffle streams (stock 32k): bigger blocks
+      // cut per-block overhead and improve ratio — matters most when the
+      // exchange crosses process boundaries (cluster mode loopback)
+      .config("spark.io.compression.lz4.blockSize",
+        sys.env.getOrElse("SPARK_GRAFT_LZ4_BLOCK", "32k"))
+      .config("spark.reducer.maxSizeInFlight",
+        sys.env.getOrElse("SPARK_GRAFT_REDUCER_MB", "48") + "m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
