@@ -105,6 +105,13 @@ object Bench {
         // young gen at half the heap, GC threads = the executor's 4 cores
         .config("spark.executor.extraJavaOptions",
           "-XX:+UseParallelGC -XX:ParallelGCThreads=4 -Xmn6g")
+        // co-located executor JVMs on one box: "locality" is loopback
+        // either way, so a non-zero locality wait only stalls task waves
+        // at stage boundaries (up to 3 s/wave stock) without buying any
+        // data movement — a real multi-node cluster should NOT inherit
+        // this (rack/node locality is genuine there)
+        .config("spark.locality.wait",
+          sys.env.getOrElse("SPARK_GRAFT_LOCALITY_WAIT", "0"))
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
